@@ -1,0 +1,143 @@
+"""Scan-matching odometry over a whole log, on-device.
+
+Two drivers:
+
+- :func:`odometry_keyframe` — the reference's ``runlogImproved`` loop
+  (src/zhpsm/ZHPolar_Match.cpp:736-854) re-designed as a single
+  ``lax.scan`` over time. Keyframe switching, PSM→ICP fallback, and
+  frame discarding become ``lax.cond`` branches on device instead of
+  C++ exceptions; the entire trajectory is produced by one compiled
+  program with no host round-trips.
+
+- :func:`odometry_pairwise` — match all consecutive pairs **in
+  parallel** with ``vmap`` and integrate relative poses with an
+  associative scan. This batched mode has no reference equivalent (its
+  serial loop can't do it) and is what TPU batching buys: throughput
+  scales with chip count and the whole chain compiles to a handful of
+  large fused kernels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se2
+from ..core.scan import LaserModel, Scan
+from .icp import match_icp
+from .psm import error_index, match_psm
+
+Array = jnp.ndarray
+
+# Keyframe switch threshold on sqrt(err_x + err_y), meters
+# (runlogImproved's 5 cm gate, ZHPolar_Match.cpp:800).
+KEYFRAME_ERR_THRESH = 0.05
+
+
+class OdometryResult(NamedTuple):
+    poses: Array       # [T, 3] global poses (pose[0] = origin)
+    switched: Array    # [T] bool — keyframe switched at this step
+    discarded: Array   # [T] bool — frame dropped (all matchers failed)
+
+
+class _OdoCarry(NamedTuple):
+    ref: Scan          # current keyframe scan
+    last: Scan         # previous scan
+    ref_gpose: Array   # [3] global pose of keyframe
+    last_gpose: Array  # [3] global pose of previous scan
+    prior_rel: Array   # [3] pose of previous scan in keyframe frame
+
+
+def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
+    # Match against the keyframe with the previous relative pose as prior
+    # (ZHPolar_Match.cpp:786-791).
+    res = match_psm(model, carry.ref, cur, carry.prior_rel)
+    ex, ey, _ = error_index(model, carry.last, cur, res.pose)
+    err_idx = jnp.sqrt(ex + ey)
+    need_switch = res.fail | (err_idx > KEYFRAME_ERR_THRESH)
+
+    def switched_branch(_):
+        # Re-match against the previous scan from a zero prior; fall back
+        # to ICP if PSM degenerates (ZHPolar_Match.cpp:806-831).
+        res2 = match_psm(model, carry.last, cur)
+        res3 = match_icp(model, carry.last, cur)
+        use_icp = res2.fail
+        rel = jnp.where(use_icp, res3.pose, res2.pose)
+        fail = res2.fail & res3.fail
+        return rel, fail
+
+    def normal_branch(_):
+        return res.pose, jnp.asarray(False)
+
+    rel, all_failed = jax.lax.cond(need_switch, switched_branch, normal_branch, None)
+    base = jnp.where(need_switch, carry.last_gpose, carry.ref_gpose)
+    gpose = se2.compose(base, rel)
+
+    discarded = need_switch & all_failed
+    keep = ~discarded
+
+    def sel(new, old):
+        return jax.tree.map(
+            lambda a, b: jnp.where(keep, a, b), new, old
+        )
+
+    new_ref = jax.tree.map(
+        lambda a, b: jnp.where(need_switch & keep, a, b), carry.last, carry.ref
+    )
+    new_carry = _OdoCarry(
+        ref=new_ref,
+        last=sel(cur, carry.last),
+        ref_gpose=sel(jnp.where(need_switch, carry.last_gpose, carry.ref_gpose),
+                      carry.ref_gpose),
+        last_gpose=sel(gpose, carry.last_gpose),
+        prior_rel=sel(jnp.where(need_switch, rel, res.pose), carry.prior_rel),
+    )
+    out_pose = jnp.where(keep, gpose, carry.last_gpose)
+    return new_carry, (out_pose, need_switch & keep, discarded)
+
+
+def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
+    """Run keyframe odometry over a preprocessed ``[T, N]`` scan log."""
+    first = jax.tree.map(lambda x: x[0], scans)
+    rest = jax.tree.map(lambda x: x[1:], scans)
+    zero = jnp.zeros(3, scans.ranges.dtype)
+    init = _OdoCarry(
+        ref=first,
+        last=first,
+        ref_gpose=zero,
+        last_gpose=zero,
+        prior_rel=zero,
+    )
+    _, (poses, switched, discarded) = jax.lax.scan(
+        lambda c, s: _step(model, c, s), init, rest
+    )
+    t = scans.ranges.shape[0]
+    f = jnp.asarray(False)
+    return OdometryResult(
+        poses=jnp.concatenate([zero[None], poses], axis=0),
+        switched=jnp.concatenate([f[None], switched]),
+        discarded=jnp.concatenate([f[None], discarded]),
+    )
+
+
+def odometry_pairwise(
+    model: LaserModel, scans: Scan, use_icp: bool = False
+) -> OdometryResult:
+    """Batched consecutive-pair odometry: all T-1 matches run in
+    parallel, then an O(log T) associative pose chain."""
+    ref = jax.tree.map(lambda x: x[:-1], scans)
+    cur = jax.tree.map(lambda x: x[1:], scans)
+    matcher = match_icp if use_icp else match_psm
+    res = jax.vmap(lambda a, b: matcher(model, a, b))(ref, cur)
+    rel = jnp.where(res.fail[:, None], jnp.zeros_like(res.pose), res.pose)
+    poses = se2.chain(rel)
+    zero = jnp.zeros((1, 3), poses.dtype)
+    f = jnp.asarray(False)
+    t1 = res.fail.shape[0]
+    return OdometryResult(
+        poses=jnp.concatenate([zero, poses], axis=0),
+        switched=jnp.concatenate([f[None], jnp.ones(t1, bool)]),
+        discarded=jnp.concatenate([f[None], res.fail]),
+    )
