@@ -35,8 +35,22 @@ Array = jnp.ndarray
 
 MAX_GN_ITERS = 20          # optimizeGraph's outer budget (MapGraph.cpp:2362)
 CHI2_REL_TOL = 1e-5        # Δchi² stop (MapGraph.cpp:2369-2378)
-HUBER_DELTA = 1.0          # robust kernel width on the Mahalanobis norm
-DAMPING = 1e-6             # Levenberg damping for rank safety
+# Robust kernel width on the Mahalanobis norm. Verified-and-consistency-
+# pruned loops carry large (drift-sized) residuals that must still pull
+# the graph closed; the reference applies no kernel at all on accepted
+# loops (it prunes instead, MapGraph.cpp:169-223), so the kernel here
+# only guards against gross outliers.
+HUBER_DELTA = 5.0
+DCS_PHI = 5.0              # DCS kernel scale for loop edges
+# Gauge anchor and damping are chosen for float32 Cholesky: the anchor
+# must dominate typical information (~50) without exploding the
+# condition number, and damping floors the gauge-null eigenvalues.
+ANCHOR_WEIGHT = 1e4
+DAMPING = 1e-2
+
+
+KERNEL_HUBER = 0
+KERNEL_DCS = 1
 
 
 class PoseGraph(NamedTuple):
@@ -49,6 +63,7 @@ class PoseGraph(NamedTuple):
     meas: Array      # [E, 3] measured relative pose (i → j)
     info: Array      # [E, 3, 3] information matrices
     e_active: Array  # [E] bool
+    kernel: Array | None = None  # [E] int32: 0 = Huber, 1 = DCS (loops)
 
 
 def edge_residuals(g: PoseGraph) -> Array:
@@ -115,12 +130,28 @@ def _edge_terms(g: PoseGraph) -> tuple[Array, Array, Array, Array, Array, Array]
     ``[E,3,3]×3, [E,3]×2, [E]``.
     """
     r = edge_residuals(g)                                  # [E, 3]
+    # Inactive slots may hold garbage/NaN measurements (preallocated
+    # capacity, failed matches); zero them before any arithmetic —
+    # masking by multiplication alone would propagate NaN (0·NaN = NaN).
+    r = jnp.where(g.e_active[:, None], jnp.nan_to_num(r), 0.0)
     Ji, Jj = edge_jacobians(g)
+    Ji = jnp.nan_to_num(Ji)
+    Jj = jnp.nan_to_num(Jj)
 
     chi = jnp.einsum("ei,eij,ej->e", r, g.info, r)
     # Huber: w = 1 for small chi, δ/√chi beyond.
     sqrt_chi = jnp.sqrt(jnp.maximum(chi, 1e-12))
-    w = jnp.where(sqrt_chi > HUBER_DELTA, HUBER_DELTA / sqrt_chi, 1.0)
+    w_huber = jnp.where(sqrt_chi > HUBER_DELTA, HUBER_DELTA / sqrt_chi, 1.0)
+    # Dynamic Covariance Scaling (Agarwal et al.): s = min(1, 2Φ/(Φ+χ²)),
+    # weight s² — annihilates gross outliers (false loop closures the
+    # acceptance gates missed) while leaving consistent edges untouched.
+    phi = jnp.asarray(DCS_PHI, chi.dtype)
+    s = jnp.minimum(1.0, 2.0 * phi / (phi + chi))
+    w_dcs = s * s
+    if g.kernel is None:
+        w = w_huber
+    else:
+        w = jnp.where(g.kernel == KERNEL_DCS, w_dcs, w_huber)
     w = jnp.where(g.e_active, w, 0.0)
 
     wi = w[:, None, None] * g.info                         # [E, 3, 3]
@@ -150,20 +181,27 @@ def assemble_normal_system(g: PoseGraph) -> tuple[Array, Array, Array]:
     return Hd, b.reshape(3 * v), jnp.sum(chi)
 
 
-def gn_step(g: PoseGraph) -> tuple[PoseGraph, Array]:
-    """One damped Gauss-Newton step; returns updated graph and chi²."""
+def _solve_normal(g: PoseGraph, lam: Array) -> tuple[Array, Array]:
+    """Solve the λ-damped normal equations; returns ``(dx [V,3], chi²)``."""
     v = g.poses.shape[0]
-    Hd, b, chi2 = assemble_normal_system(g, )
+    Hd, b, chi2_w = assemble_normal_system(g)
     # Gauge fix: anchor vertex 0 with a strong prior instead of deleting
     # rows (keeps shapes static; equivalent to g2o setFixed).
-    anchor = jnp.zeros(3 * v, dtype=Hd.dtype).at[:3].set(1e8)
+    anchor = jnp.zeros(3 * v, dtype=Hd.dtype).at[:3].set(ANCHOR_WEIGHT)
     # Inactive vertices get identity blocks so the solve stays full-rank.
     vmask = jnp.repeat(~g.v_active, 3)
     diag_fix = jnp.where(vmask, 1.0, 0.0) + anchor
-    Hd = Hd + jnp.diag(diag_fix) + DAMPING * jnp.eye(3 * v, dtype=Hd.dtype)
-
+    # Marquardt scaling: λ multiplies the diagonal, flooring at DAMPING.
+    diag_h = jnp.clip(jnp.diagonal(Hd), 1.0)
+    Hd = Hd + jnp.diag(diag_fix + lam * diag_h) + DAMPING * jnp.eye(
+        3 * v, dtype=Hd.dtype
+    )
     L = jax.scipy.linalg.cho_factor(Hd, lower=True)
     dx = jax.scipy.linalg.cho_solve(L, -b).reshape(v, 3)
+    return dx, chi2_w
+
+
+def _apply(g: PoseGraph, dx: Array) -> Array:
     new_poses = jnp.concatenate(
         [
             g.poses[:, :2] + dx[:, :2],
@@ -171,31 +209,162 @@ def gn_step(g: PoseGraph) -> tuple[PoseGraph, Array]:
         ],
         axis=-1,
     )
-    new_poses = jnp.where(g.v_active[:, None], new_poses, g.poses)
-    return g._replace(poses=new_poses), chi2
+    return jnp.where(g.v_active[:, None], new_poses, g.poses)
+
+
+def weighted_chi2(g: PoseGraph) -> Array:
+    """Huber-weighted chi² (the LM acceptance objective)."""
+    return _edge_terms(g)[-1].sum()
+
+
+def gn_step(g: PoseGraph) -> tuple[PoseGraph, Array]:
+    """One undamped Gauss-Newton step (kept for tests/small graphs)."""
+    dx, chi = _solve_normal(g, jnp.asarray(0.0, g.poses.dtype))
+    return g._replace(poses=_apply(g, dx)), chi
 
 
 def optimize(g: PoseGraph, max_iters: int = MAX_GN_ITERS) -> tuple[PoseGraph, Array]:
-    """Iterate GN until chi² stagnates (Δ < CHI2_REL_TOL) or ``max_iters``.
+    """Levenberg-Marquardt with accept/reject and adaptive λ.
 
-    Fully on-device; returns ``(graph, final_chi2)``.
+    Plain GN oscillates on loop closures with large rotational residuals
+    (the exact workload here: drift-sized corrections); LM's step control
+    is what g2o's Levenberg variant provides. Fully on-device; returns
+    ``(graph, final weighted chi²)``.
     """
+    dtype = g.poses.dtype
 
     def cond(state):
-        g_, it, prev_chi, cur_chi = state
-        return (it < max_iters) & (jnp.abs(prev_chi - cur_chi) > CHI2_REL_TOL)
+        g_, lam, chi_cur, it, stall = state
+        return (it < max_iters) & (stall < 3)
 
     def body(state):
-        g_, it, prev_chi, cur_chi = state
-        g2, chi = gn_step(g_)
-        return (g2, it + 1, cur_chi, chi)
+        g_, lam, chi_cur, it, stall = state
+        dx, _ = _solve_normal(g_, lam)
+        cand = g_._replace(poses=_apply(g_, dx))
+        chi_cand = weighted_chi2(cand)
+        accept = chi_cand < chi_cur
+        g_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), cand, g_
+        )
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-6), lam * 5.0)
+        chi_next = jnp.where(accept, chi_cand, chi_cur)
+        improved = chi_cur - chi_next > CHI2_REL_TOL
+        stall = jnp.where(improved, 0, stall + 1)
+        return (g_next, lam, chi_next, it + 1, stall)
 
-    big = jnp.asarray(1e30, g.poses.dtype)
-    g_out, _, _, chi = jax.lax.while_loop(cond, body, (g, 0, big, big * 0.5))
+    chi0 = weighted_chi2(g)
+    lam0 = jnp.asarray(1e-4, dtype)
+    g_out, _, chi, _, _ = jax.lax.while_loop(
+        cond, body, (g, lam0, chi0, 0, 0)
+    )
     return g_out, chi
 
 
 def chi2(g: PoseGraph) -> Array:
     r = edge_residuals(g)
+    r = jnp.where(g.e_active[:, None], jnp.nan_to_num(r), 0.0)
     c = jnp.einsum("ei,eij,ej->e", r, g.info, r)
     return jnp.sum(jnp.where(g.e_active, c, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Linear initialization (LAGO-style) — 2D pose graphs are special: given
+# relative-angle measurements the orientations are a *linear* problem in
+# unit-circle embeddings, and given orientations the positions are linear
+# too. Two small dense solves on the MXU produce a near-global
+# initialization that plain GN/LM cannot reach from drifted odometry
+# (large coordinated rotations = the classic pose-graph local minimum).
+# The reference has no equivalent — g2o is simply initialized from
+# odometry and loop closures are applied incrementally, which sidesteps
+# (but does not solve) the batch-initialization problem.
+# ---------------------------------------------------------------------------
+
+
+def _masked_w(g: PoseGraph, idx: int) -> Array:
+    w = g.info[:, idx, idx]
+    return jnp.where(g.e_active, w, 0.0)
+
+
+def linear_initialize(g: PoseGraph) -> PoseGraph:
+    """Rotation-then-translation linear initialization.
+
+    Stage 1: embed each orientation as a point ``z_i`` on the plane and
+    minimize ``Σ w‖z_j − R(δθ_e) z_i‖²`` (anchored ``z_0 = (1,0)``) — a
+    linear system whose solution's ``atan2`` is a near-optimal set of
+    absolute orientations regardless of 2π wraps.
+
+    Stage 2: with orientations fixed, minimize
+    ``Σ w‖t_j − t_i − R(θ_i) δt_e‖²`` — linear in the positions.
+    """
+    v = g.poses.shape[0]
+    dtype = g.poses.dtype
+    meas = jnp.where(g.e_active[:, None], jnp.nan_to_num(g.meas), 0.0)
+
+    def laplacian_solve(rot_edges: Array, rhs_edges: Array, w: Array, anchor_val: Array):
+        """Solve Σ w‖x_j − A_e x_i − c_e‖² for x ∈ R^{V×2}, x_0 anchored.
+
+        ``rot_edges [E,2,2]``: A_e; ``rhs_edges [E,2]``: c_e.
+        """
+        H = jnp.zeros((v, v, 2, 2), dtype)
+        eye2 = jnp.eye(2, dtype=dtype)
+        AtA = jnp.einsum("eki,ekj->eij", rot_edges, rot_edges) * w[:, None, None]
+        H = H.at[g.i, g.i].add(AtA)
+        H = H.at[g.j, g.j].add(w[:, None, None] * eye2)
+        cross = -rot_edges * w[:, None, None]            # (J_jᵀ W J_i) = -A w
+        H = H.at[g.j, g.i].add(cross)
+        H = H.at[g.i, g.j].add(jnp.swapaxes(cross, -1, -2))
+
+        b = jnp.zeros((v, 2), dtype)
+        # residual r = x_j - A x_i - c ; ∂r/∂x_i = -A, ∂r/∂x_j = I
+        b = b.at[g.i].add(jnp.einsum("eki,ek->ei", rot_edges, rhs_edges) * w[:, None])
+        b = b.at[g.j].add(-rhs_edges * w[:, None])
+
+        anchor = jnp.zeros((v, 2), dtype).at[0].set(anchor_val)
+        diag = jnp.zeros(2 * v, dtype).at[:2].set(ANCHOR_WEIGHT)
+        Hd = H.transpose(0, 2, 1, 3).reshape(2 * v, 2 * v)
+        Hd = Hd + jnp.diag(diag) + 1e-4 * jnp.eye(2 * v, dtype=dtype)
+        rhs = -b.reshape(-1) + (jnp.zeros((v, 2), dtype).at[0].set(
+            anchor_val * ANCHOR_WEIGHT
+        )).reshape(-1)
+        L = jax.scipy.linalg.cho_factor(Hd, lower=True)
+        return jax.scipy.linalg.cho_solve(L, rhs).reshape(v, 2)
+
+    # Stage 1: orientations via unit-circle embedding.
+    dth = meas[:, 2]
+    c, s = jnp.cos(dth), jnp.sin(dth)
+    rot = jnp.stack(
+        [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=-2
+    )                                                   # [E, 2, 2]
+    w_th = _masked_w(g, 2)
+    z = laplacian_solve(rot, jnp.zeros((meas.shape[0], 2), dtype), w_th,
+                        jnp.asarray([1.0, 0.0], dtype))
+    theta = jnp.arctan2(z[:, 1], z[:, 0])
+
+    # Stage 2: positions, orientations fixed.
+    ci, si = jnp.cos(theta[g.i]), jnp.sin(theta[g.i])
+    rhs = jnp.stack(
+        [
+            ci * meas[:, 0] - si * meas[:, 1],
+            si * meas[:, 0] + ci * meas[:, 1],
+        ],
+        axis=-1,
+    )                                                   # R(θ_i) δt
+    eyeE = jnp.tile(jnp.eye(2, dtype=dtype)[None], (meas.shape[0], 1, 1))
+    w_t = 0.5 * (_masked_w(g, 0) + _masked_w(g, 1))
+    t = laplacian_solve(eyeE, rhs, w_t, g.poses[0, :2])
+
+    new_poses = jnp.concatenate([t, theta[:, None]], axis=-1)
+    new_poses = jnp.where(g.v_active[:, None], new_poses, g.poses)
+    return g._replace(poses=new_poses)
+
+
+def optimize_with_init(
+    g: PoseGraph, max_iters: int = MAX_GN_ITERS
+) -> tuple[PoseGraph, Array]:
+    """Linear initialization followed by LM polish, keeping whichever
+    result scores better (the linear stage can only help if its
+    assumptions hold — guard against pathological graphs)."""
+    g_lin = linear_initialize(g)
+    better = weighted_chi2(g_lin) < weighted_chi2(g)
+    g_start = jax.tree.map(lambda a, b: jnp.where(better, a, b), g_lin, g)
+    return optimize(g_start, max_iters)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..core import se2
 from ..core.scan import LaserModel, Scan
+from .correlative import match_correlative
 from .icp import match_icp
 from .psm import error_index, match_psm
 
@@ -40,6 +41,10 @@ class OdometryResult(NamedTuple):
     poses: Array       # [T, 3] global poses (pose[0] = origin)
     switched: Array    # [T] bool — keyframe switched at this step
     discarded: Array   # [T] bool — frame dropped (all matchers failed)
+    weak: Array        # [T] bool — step estimate is low-confidence
+    # (deep fallback on a low-overlap pair; the backend downweights the
+    # sequential edges spanning such steps, like the reference's
+    # corridor information matrix, MapGraph.cpp:250-261)
 
 
 class _OdoCarry(NamedTuple):
@@ -59,19 +64,36 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
     need_switch = res.fail | (err_idx > KEYFRAME_ERR_THRESH)
 
     def switched_branch(_):
-        # Re-match against the previous scan from a zero prior; fall back
-        # to ICP if PSM degenerates (ZHPolar_Match.cpp:806-831).
+        # Re-match against the previous scan from a zero prior
+        # (ZHPolar_Match.cpp:806-831). Where the reference falls back to
+        # its polar ICP — still limited to a ±window bearing band — we
+        # escalate to the correlative matcher with a full ±180° search:
+        # intel-lab contains single-frame rotations up to ~148°, beyond
+        # any banded matcher (the reference simply discards such frames).
         res2 = match_psm(model, carry.last, cur)
-        res3 = match_icp(model, carry.last, cur)
-        use_icp = res2.fail
-        rel = jnp.where(use_icp, res3.pose, res2.pose)
-        fail = res2.fail & res3.fail
-        return rel, fail
+        ex2, ey2, _ = error_index(model, carry.last, cur, res2.pose)
+        bad2 = res2.fail | (jnp.sqrt(ex2 + ey2) > 2.0 * KEYFRAME_ERR_THRESH)
+
+        def deep_fallback(_):
+            corr = match_correlative(
+                model, carry.last, cur, search_xy=1.2, n_theta=72
+            )
+            ex3, ey3, _ = error_index(model, carry.last, cur, corr.pose)
+            weak = (corr.score < 0.4) | (jnp.sqrt(ex3 + ey3) > 3.0 * KEYFRAME_ERR_THRESH)
+            return corr.pose, corr.fail, weak
+
+        def keep_psm(_):
+            return res2.pose, res2.fail, jnp.asarray(False)
+
+        rel, fail, weak = jax.lax.cond(bad2, deep_fallback, keep_psm, None)
+        return rel, fail, weak
 
     def normal_branch(_):
-        return res.pose, jnp.asarray(False)
+        return res.pose, jnp.asarray(False), jnp.asarray(False)
 
-    rel, all_failed = jax.lax.cond(need_switch, switched_branch, normal_branch, None)
+    rel, all_failed, weak = jax.lax.cond(
+        need_switch, switched_branch, normal_branch, None
+    )
     base = jnp.where(need_switch, carry.last_gpose, carry.ref_gpose)
     gpose = se2.compose(base, rel)
 
@@ -95,7 +117,7 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
         prior_rel=sel(jnp.where(need_switch, rel, res.pose), carry.prior_rel),
     )
     out_pose = jnp.where(keep, gpose, carry.last_gpose)
-    return new_carry, (out_pose, need_switch & keep, discarded)
+    return new_carry, (out_pose, need_switch & keep, discarded, weak | discarded)
 
 
 def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
@@ -110,7 +132,7 @@ def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
         last_gpose=zero,
         prior_rel=zero,
     )
-    _, (poses, switched, discarded) = jax.lax.scan(
+    _, (poses, switched, discarded, weak) = jax.lax.scan(
         lambda c, s: _step(model, c, s), init, rest
     )
     t = scans.ranges.shape[0]
@@ -119,6 +141,7 @@ def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
         poses=jnp.concatenate([zero[None], poses], axis=0),
         switched=jnp.concatenate([f[None], switched]),
         discarded=jnp.concatenate([f[None], discarded]),
+        weak=jnp.concatenate([f[None], weak]),
     )
 
 
@@ -140,4 +163,5 @@ def odometry_pairwise(
         poses=jnp.concatenate([zero, poses], axis=0),
         switched=jnp.concatenate([f[None], jnp.ones(t1, bool)]),
         discarded=jnp.concatenate([f[None], res.fail]),
+        weak=jnp.concatenate([f[None], res.fail]),
     )

@@ -227,4 +227,8 @@ def error_index(
     nf = jnp.maximum(n, 1).astype(delta.dtype)
     ex = jnp.sum(jnp.where(valid, (delta * jnp.cos(fi)) ** 2, 0.0)) / nf
     ey = jnp.sum(jnp.where(valid, (delta * jnp.sin(fi)) ** 2, 0.0)) / nf
-    return ex, ey, n
+    # No overlapping beams at all ⇒ worst error, not zero (the zero-count
+    # case would otherwise read as a perfect match).
+    bad = n == 0
+    big = jnp.asarray(1e6, delta.dtype)
+    return jnp.where(bad, big, ex), jnp.where(bad, big, ey), n

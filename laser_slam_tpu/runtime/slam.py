@@ -1,0 +1,207 @@
+"""Full SLAM pipelines: offline batch and online facade.
+
+``slam_offline`` is the TPU-first pipeline: on-device keyframe odometry
+(one ``lax.scan``), then a fixed number of loop-closure rounds, each a
+single jitted program — batched gating over all anchor pairs, one vmapped
+verification batch, robust graph solve — followed by trajectory
+re-attachment. It covers the role of the reference's 3-thread online
+pipeline + backend (SURVEY §3.2: ThreadLocal1/2 + ThreadGlobal1 +
+CMapGraph) in a form where every expensive step is one large batched
+kernel instead of a serial loop.
+
+The anchor spacing mirrors the reference's submap granularity
+(``g_session_size`` = 10 pose nodes per MapNode, MapGraph.cpp:725), and
+edge information values mirror its constants (adj=50, loop=10,
+MapGraph.cpp:250-261).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se2
+from ..core.scan import LaserModel, Scan
+from ..graph.loop_closure import (
+    consistency_prune,
+    gate_matrix,
+    select_candidates,
+    submap_bboxes,
+    verify_loops,
+)
+from ..graph.solve import PoseGraph, optimize
+from ..ops.odometry import odometry_keyframe
+from ..ops.preprocess import preprocess
+
+Array = jnp.ndarray
+
+INFO_ADJ = 50.0    # sequential-edge information (MapGraph.cpp:251)
+INFO_LOOP = 10.0   # loop-edge information (MapGraph.cpp:252)
+INFO_WEAK = 0.5    # sequential edges spanning a weak/low-overlap step
+#                    (the reference's corridor value, MapGraph.cpp:253)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    anchor_stride: int = 10        # g_session_size (MapGraph.cpp:725)
+    max_loops: int = 512           # loop-candidate batch capacity
+    rounds: int = 3                # gate→verify→optimize repetitions
+    loop_radius: float = 2.0       # isLoopyArea constant-cov radius [m]
+    gn_iters: int = 20
+
+
+class SlamResult(NamedTuple):
+    poses: Array          # [T, 3] optimized trajectory
+    odo_poses: Array      # [T, 3] raw odometry trajectory
+    anchor_idx: Array     # [A] scan indices of graph vertices
+    n_loops: Array        # [] accepted loop edges (last round)
+    chi2: Array           # [] final graph chi²
+
+
+def _loop_round(
+    model: LaserModel,
+    cfg: SlamConfig,
+    anchor_scans: Scan,
+    anchor_poses: Array,
+    rel_seq: Array,
+    radius: Array | float | None = None,
+    seq_weight: Array | None = None,
+):
+    """One gate→verify→prune→solve round over anchors; returns updated
+    anchor poses and the number of accepted loops. ``radius`` may be a
+    traced scalar so the compiled round is reusable across rounds with
+    an escalating search radius. ``seq_weight [A-1]`` scales sequential
+    edge information (weak odometry intervals get INFO_WEAK/INFO_ADJ)."""
+    if radius is None:
+        radius = cfg.loop_radius
+    bbox_lo, bbox_hi = submap_bboxes(model, anchor_scans, anchor_poses)
+    gate = gate_matrix(anchor_poses[:, :2], bbox_lo, bbox_hi, radius=radius)
+    cand = select_candidates(gate, anchor_poses[:, :2], cfg.max_loops)
+    loops = verify_loops(
+        model, anchor_scans, anchor_poses, cand, max_corr=radius
+    )
+    keep = consistency_prune(loops, anchor_poses)
+
+    a = anchor_poses.shape[0]
+    seq_i = jnp.arange(a - 1, dtype=jnp.int32)
+    seq_j = seq_i + 1
+    eye = jnp.eye(3, dtype=anchor_poses.dtype)
+    if seq_weight is None:
+        seq_weight = jnp.ones(a - 1, anchor_poses.dtype)
+
+    i_all = jnp.concatenate([seq_i, loops.src.astype(jnp.int32)])
+    j_all = jnp.concatenate([seq_j, loops.dst.astype(jnp.int32)])
+    meas = jnp.concatenate([rel_seq, loops.rel], axis=0)
+    info = jnp.concatenate(
+        [
+            jnp.tile(eye[None] * INFO_ADJ, (a - 1, 1, 1))
+            * seq_weight[:, None, None],
+            jnp.tile(eye[None] * INFO_LOOP, (cfg.max_loops, 1, 1))
+            * loops.quality[:, None, None],
+        ],
+        axis=0,
+    )
+    active = jnp.concatenate([jnp.ones(a - 1, bool), keep])
+    kernel = jnp.concatenate(
+        [
+            jnp.zeros(a - 1, jnp.int32),                 # seq: Huber
+            jnp.ones(cfg.max_loops, jnp.int32),          # loops: DCS
+        ]
+    )
+
+    g = PoseGraph(
+        poses=anchor_poses,
+        v_active=jnp.ones(a, bool),
+        i=i_all,
+        j=j_all,
+        meas=meas,
+        info=info,
+        e_active=active,
+        kernel=kernel,
+    )
+    g_opt, chi = optimize(g, cfg.gn_iters)
+    return g_opt.poses, jnp.sum(keep), chi
+
+
+def slam_offline(
+    model: LaserModel,
+    ranges: Array,
+    cfg: SlamConfig = SlamConfig(),
+) -> SlamResult:
+    """End-to-end SLAM over a ``[T, N]`` range log.
+
+    Host-orchestrated: the odometry chain, the loop round, and the
+    re-attachment each compile once; the loop round is re-invoked
+    ``cfg.rounds`` times with updated poses (same shapes → cached
+    executable), keeping XLA program size independent of round count.
+    """
+    front = jax.jit(
+        lambda r: _frontend(model, cfg, r), static_argnums=()
+    )
+    (scans, odo_poses, anchor_idx, anchor_scans, anchor_poses, rel_seq,
+     seq_weight) = front(ranges)
+
+    round_fn = jax.jit(
+        lambda a_scans, a_poses, rels, radius, w: _loop_round(
+            model, cfg, a_scans, a_poses, rels, radius, w
+        )
+    )
+    n_loops = jnp.asarray(0)
+    chi = jnp.asarray(0.0, ranges.dtype)
+    for r in range(cfg.rounds):
+        # Escalating search radius: early rounds close tight, reliable
+        # loops; later rounds, with drift already reduced, reach farther
+        # (the role of the reference's covariance-scaled isLoopyArea
+        # search, MapGraph.cpp:1012-1017).
+        radius = jnp.asarray(cfg.loop_radius * (2.0**r), ranges.dtype)
+        anchor_poses, n_loops, chi = round_fn(
+            anchor_scans, anchor_poses, rel_seq, radius, seq_weight
+        )
+
+    final = jax.jit(
+        lambda ap, op: _reattach(cfg, ap, op)
+    )(anchor_poses, odo_poses)
+
+    return SlamResult(
+        poses=final,
+        odo_poses=odo_poses,
+        anchor_idx=anchor_idx,
+        n_loops=n_loops,
+        chi2=chi,
+    )
+
+
+def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array):
+    scans = preprocess(ranges, model)
+    odo = odometry_keyframe(model, scans)
+    t = ranges.shape[0]
+    anchor_idx = jnp.arange(0, t - (t % cfg.anchor_stride), cfg.anchor_stride)
+    anchor_scans = jax.tree.map(lambda x: x[anchor_idx], scans)
+    anchor_poses = odo.poses[anchor_idx]
+    rel_seq = se2.relative(anchor_poses[:-1], anchor_poses[1:])
+    # An anchor interval containing any weak odometry step gets the
+    # reference's corridor-grade information (INFO_WEAK vs INFO_ADJ).
+    k = anchor_idx.shape[0]
+    # Step t (the match scan t-1 → t) is covered by anchor edge
+    # floor((t-1)/stride); sum weak flags per edge.
+    edge_of_step = jnp.clip(
+        (jnp.arange(t) - 1) // cfg.anchor_stride, 0, k - 2
+    )
+    weak_per_edge = jax.ops.segment_sum(
+        odo.weak.astype(jnp.int32), edge_of_step, num_segments=k - 1
+    )
+    seq_weight = jnp.where(weak_per_edge > 0, INFO_WEAK / INFO_ADJ, 1.0)
+    return (scans, odo.poses, anchor_idx, anchor_scans, anchor_poses,
+            rel_seq, seq_weight)
+
+
+def _reattach(cfg: SlamConfig, anchor_poses: Array, odo_poses: Array) -> Array:
+    t = odo_poses.shape[0]
+    seg = jnp.arange(t) // cfg.anchor_stride
+    seg = jnp.clip(seg, 0, anchor_poses.shape[0] - 1)
+    anchors_of_t = seg * cfg.anchor_stride
+    rel_to_anchor = se2.relative(odo_poses[anchors_of_t], odo_poses)
+    return se2.compose(anchor_poses[seg], rel_to_anchor)
