@@ -1,0 +1,192 @@
+"""Online incremental SLAM facade.
+
+The role of the reference's ``CSlam`` 3-thread pipeline (src/slam/slam.h,
+threadLocal1/threadLocal2/threadGlobal1) and the deployable ``CSlamV1``
+callback facade (src/version1/slam_v1.h:44-130): feed scans (and
+optionally odometry/beacon readings) one at a time, get poses out, with
+the backend (loop closure + graph solve) folded in periodically.
+
+Where the reference moves data between Qt threads with mutex-guarded
+buffer swaps, here the frontend step is one compiled device program and
+the backend round is another; the host merely sequences them. Callbacks
+mirror the ``SLAM_CallBack`` table entries that matter for the library
+surface (pose, map update).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se2
+from ..core.scan import LaserModel, Scan
+from ..fusion import ukf
+from ..ops.odometry import _OdoCarry, _step
+from ..ops.preprocess import preprocess
+from ..runtime.slam import SlamConfig, _loop_round, INFO_ADJ, INFO_WEAK
+
+
+@dataclasses.dataclass
+class OnlineSlam:
+    """Incremental SLAM session.
+
+    Usage::
+
+        slam = OnlineSlam(model)
+        for ranges, t in sensor:
+            pose = slam.feed_scan(ranges)
+        grid = slam.render_map()
+    """
+
+    model: LaserModel
+    cfg: SlamConfig = SlamConfig()
+    optimize_every: int = 10            # anchors between backend rounds
+    on_pose: Callable | None = None     # cbDataFusionResult analog
+    use_fusion: bool = False
+
+    def __post_init__(self):
+        self._carry: _OdoCarry | None = None
+        self._step_fn = jax.jit(lambda c, s: _step(self.model, c, s))
+        self._round_fn = jax.jit(
+            lambda a_scans, a_poses, rels, radius, w: _loop_round(
+                self.model, self.cfg, a_scans, a_poses, rels, radius, w
+            )
+        )
+        self._scans: list[Scan] = []        # anchor scans (host refs)
+        self._poses: list[np.ndarray] = []  # per-scan poses
+        self._weak: list[bool] = []
+        self._t = 0
+        self._fusion = ukf.init(jnp.zeros(3), 0.01) if self.use_fusion else None
+
+    # -- sensor inputs (receMainSickSLAM / receODO / receBN analogs) ----
+
+    def feed_scan(self, ranges) -> np.ndarray:
+        """Process one scan; returns the current global pose [3]."""
+        scan = preprocess(jnp.asarray(ranges), self.model)
+        if self._carry is None:
+            zero = jnp.zeros(3, jnp.float32)
+            self._carry = _OdoCarry(
+                ref=scan, last=scan, ref_gpose=zero, last_gpose=zero,
+                prior_rel=zero,
+            )
+            self._poses.append(np.zeros(3, np.float32))
+            self._weak.append(False)
+            self._maybe_anchor(scan, 0)
+            self._t = 1
+            return self._poses[-1]
+
+        self._carry, (pose, switched, discarded, weak) = self._step_fn(
+            self._carry, scan
+        )
+        pose_np = np.asarray(pose)
+        self._poses.append(pose_np)
+        self._weak.append(bool(weak))
+        self._maybe_anchor(scan, self._t)
+        self._t += 1
+
+        if self.use_fusion:
+            rel = se2.relative(
+                jnp.asarray(self._poses[-2]), jnp.asarray(pose_np)
+            )
+            self._fusion = ukf.fusion_step(
+                self._fusion,
+                ukf.FusionInputs(
+                    odom_rel=rel,
+                    odom_valid=jnp.asarray(True),
+                    slam_pose=jnp.asarray(pose_np),
+                    slam_valid=jnp.asarray(True),
+                    beacon_xy=jnp.zeros(2),
+                    beacon_valid=jnp.asarray(False),
+                ),
+            )
+        if self.on_pose is not None:
+            self.on_pose(pose_np)
+        return pose_np
+
+    def feed_beacon(self, xy) -> None:
+        if self._fusion is not None:
+            self._fusion = ukf.update_partial(
+                self._fusion, (0, 1), jnp.asarray(xy), 0.25
+            )
+
+    # -- state access ---------------------------------------------------
+
+    @property
+    def pose(self) -> np.ndarray:
+        if self._fusion is not None:
+            return np.asarray(self._fusion.mean)
+        return self._poses[-1] if self._poses else np.zeros(3, np.float32)
+
+    @property
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self._poses) if self._poses else np.zeros((0, 3))
+
+    def render_map(self, resolution: float = 0.05):
+        from ..mapping.occupancy import (
+            empty_grid, integrate_scans, spec_for_trajectory,
+        )
+
+        traj = self.trajectory
+        spec = spec_for_trajectory(traj, self.model.max_range, resolution)
+        scans = jax.tree.map(lambda *xs: jnp.stack(xs), *self._all_scans)
+        return integrate_scans(
+            empty_grid(spec), self.model, scans, jnp.asarray(traj)
+        )
+
+    # -- internals ------------------------------------------------------
+
+    def _maybe_anchor(self, scan: Scan, t: int) -> None:
+        if t % self.cfg.anchor_stride == 0:
+            self._scans.append(scan)
+            if (
+                len(self._scans) >= 8
+                and (len(self._scans) % self.optimize_every) == 0
+            ):
+                self._backend_round()
+        if not hasattr(self, "_all_scans"):
+            self._all_scans = []
+        self._all_scans.append(scan)
+
+    def _backend_round(self) -> None:
+        stride = self.cfg.anchor_stride
+        a = len(self._scans)
+        anchor_poses = jnp.asarray(
+            np.stack([self._poses[i * stride] for i in range(a)])
+        )
+        anchor_scans = jax.tree.map(lambda *xs: jnp.stack(xs), *self._scans)
+        rel_seq = se2.relative(anchor_poses[:-1], anchor_poses[1:])
+        weak = np.zeros(a - 1, bool)
+        for i in range(a - 1):
+            lo, hi = i * stride + 1, min((i + 1) * stride + 1, len(self._weak))
+            weak[i] = any(self._weak[lo:hi])
+        seq_w = jnp.where(jnp.asarray(weak), INFO_WEAK / INFO_ADJ, 1.0)
+
+        new_anchor_poses, n_loops, _ = self._round_fn(
+            anchor_scans, anchor_poses, rel_seq,
+            jnp.asarray(self.cfg.loop_radius, jnp.float32), seq_w,
+        )
+        # Rebase all per-scan poses onto the optimized anchors — the
+        # reference's synFromGlobal back-edge (threadLocal1.cpp:326-359).
+        # Snapshot first: the relative offsets must come from the OLD
+        # anchor poses, batched in one device call.
+        old = jnp.asarray(np.stack(self._poses))
+        t_all = np.arange(old.shape[0])
+        seg = np.minimum(t_all // stride, a - 1)
+        rel = se2.relative(old[seg * stride], old)
+        rebased = np.asarray(se2.compose(jnp.asarray(new_anchor_poses)[seg], rel))
+        self._poses = [rebased[t] for t in range(rebased.shape[0])]
+        # Rebase the live frontend carry.
+        if self._carry is not None:
+            self._carry = self._carry._replace(
+                last_gpose=jnp.asarray(self._poses[-1]),
+                ref_gpose=jnp.asarray(
+                    se2.compose(
+                        jnp.asarray(self._poses[-1]),
+                        se2.inverse(self._carry.prior_rel),
+                    )
+                ),
+            )
