@@ -69,6 +69,31 @@ def match_icp_points(
         j = jnp.argmin(d2, axis=1)
         dist = jnp.sqrt(jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0])
 
+        # Point-to-segment target: project onto the segment between the
+        # two nearest reference points. Kills the sampling bias of pure
+        # point-to-point matching on sparsely sampled walls (the role of
+        # the reference's interpolation, ZHPolar_Match.cpp:1859-1927).
+        d2b = d2.at[jnp.arange(n), j].set(jnp.inf)
+        j2 = jnp.argmin(d2b, axis=1)
+        p1 = ref_pts[j]
+        p2 = ref_pts[j2]
+        seg = p2 - p1
+        len2 = jnp.sum(seg * seg, axis=-1)
+        tproj = jnp.clip(
+            jnp.sum((q - p1) * seg, axis=-1)
+            / jnp.where(len2 < 1e-12, 1.0, len2),
+            0.0,
+            1.0,
+        )
+        proj = p1 + tproj[:, None] * seg
+        # Only use the segment when its two endpoints are close together
+        # (adjacent samples of one surface, not a gap across objects).
+        seg_ok = len2 < (4.0 * min_corr) ** 2
+        target = jnp.where(seg_ok[:, None], proj, p1)
+        dist = jnp.where(
+            seg_ok, jnp.linalg.norm(q - proj, axis=-1), dist
+        )
+
         gate = jnp.maximum(
             max_corr * CORR_DECAY ** it.astype(dtype), min_corr
         )
@@ -85,7 +110,7 @@ def match_icp_points(
         )
         keep = match & (dist <= srt[k])
 
-        tgt = ref_pts[j]                                     # [N, 2]
+        tgt = target                                         # [N, 2]
         wk = keep.astype(dtype)
         m = jnp.maximum(jnp.sum(wk), 1.0)
         mean_q = jnp.sum(q * wk[:, None], axis=0) / m
