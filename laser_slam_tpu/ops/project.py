@@ -103,3 +103,69 @@ def scan_project(model: LaserModel, scan: Scan, pose: Array) -> Projection:
     occluded = jnp.take(occl_pair, winner) & ~empty
     new_r = jnp.where(empty, big, new_r)
     return Projection(new_r=new_r, empty=empty, occluded=occluded)
+
+
+def scan_project_banded(
+    model: LaserModel, scan: Scan, pose: Array, band: int = 32
+) -> Projection:
+    """Banded variant of :func:`scan_project`.
+
+    A pair's bearing in the target frame is its own bearing plus the
+    rotation (in bins, ``round(θ/dfi)``) plus a distortion from the
+    translation that is small for all but very close points. Restricting
+    each bin's candidate pairs to a ±``band`` window around that shifted
+    index turns the O(N²) candidate matrix into O(N·2band) — ~4× less
+    arithmetic for N=181 — with identical results whenever every true
+    candidate falls inside the band (pairs whose translation-induced
+    angular shift exceeds the band are missed; with ``band=32`` that
+    needs a point closer than ~0.9 m during a 0.5 m translation).
+    """
+    fi = model.bearings(scan.ranges.dtype)
+    r = scan.ranges
+    n = model.n_beams
+    px, py, pth = pose[0], pose[1], pose[2]
+
+    ang = pth + fi
+    x = r * jnp.cos(ang) + px
+    y = r * jnp.sin(ang) + py
+    rr = jnp.sqrt(x * x + y * y)
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where((x < 0) & (y < 0), phi + 2.0 * jnp.pi, phi)
+
+    phi0 = jnp.roll(phi, 1)
+    rr0 = jnp.roll(rr, 1)
+    pair_ok = _pair_valid_from_seg(scan)
+    pair_ok = pair_ok & (jnp.abs(phi - phi0) < jnp.pi)
+    a_lo = jnp.minimum(phi0, phi)
+    a_hi = jnp.maximum(phi0, phi)
+    occl_pair = phi <= phi0
+
+    # Candidate pair indices per bin: j - shift ± band.
+    shift = jnp.round(pth / model.dfi).astype(jnp.int32)
+    offs = jnp.arange(-band, band)                             # [K]
+    cand = jnp.arange(n)[:, None] - shift + offs[None, :]      # [N, K]
+    inb = (cand >= 0) & (cand < n)
+    cand_c = jnp.clip(cand, 0, n - 1)
+
+    al = a_lo[cand_c]
+    ah = a_hi[cand_c]
+    pv = pair_ok[cand_c] & inb
+    cover = (fi[:, None] >= al) & (fi[:, None] <= ah) & pv     # [N, K]
+
+    p0 = phi0[cand_c]
+    dp = phi[cand_c] - p0
+    dp = jnp.where(jnp.abs(dp) < 1e-9, 1e-9, dp)
+    t = (fi[:, None] - p0) / dp
+    ri = rr0[cand_c] + (rr[cand_c] - rr0[cand_c]) * t          # [N, K]
+
+    big = jnp.asarray(EMPTY_RANGE, ri.dtype)
+    ri_masked = jnp.where(cover, ri, big)
+    new_r = jnp.min(ri_masked, axis=1)
+    kmin = jnp.argmin(ri_masked, axis=1)
+    empty = ~jnp.any(cover, axis=1)
+    occluded = (
+        jnp.take_along_axis(occl_pair[cand_c], kmin[:, None], axis=1)[:, 0]
+        & ~empty
+    )
+    new_r = jnp.where(empty, big, new_r)
+    return Projection(new_r=new_r, empty=empty, occluded=occluded)

