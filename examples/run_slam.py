@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--stride", type=int, default=10)
     ap.add_argument("--radius", type=float, default=2.0)
     ap.add_argument("--max-loops", type=int, default=512)
+    ap.add_argument(
+        "--submaps", action="store_true",
+        help="verify loops submap-vs-submap (MapNode hierarchy)",
+    )
     ap.add_argument("--out", default="/tmp/slam_map.png")
     args = ap.parse_args()
 
@@ -40,6 +44,7 @@ def main():
         rounds=args.rounds,
         loop_radius=args.radius,
         max_loops=args.max_loops,
+        use_submaps=args.submaps,
     )
     print(f"{log.n_scans} scans x {model.n_beams} beams; cfg={cfg}")
 

@@ -192,8 +192,13 @@ def _solve_normal(g: PoseGraph, lam: Array) -> tuple[Array, Array]:
     vmask = jnp.repeat(~g.v_active, 3)
     diag_fix = jnp.where(vmask, 1.0, 0.0) + anchor
     # Marquardt scaling: λ multiplies the diagonal, flooring at DAMPING.
+    # The absolute floor also scales with the largest diagonal entry:
+    # float32 assembly roundoff perturbs eigenvalues of the (PSD by
+    # construction) H by O(ε·‖H‖), and a fixed floor below that makes the
+    # damped matrix indefinite → NaN Cholesky on large graphs.
     diag_h = jnp.clip(jnp.diagonal(Hd), 1.0)
-    Hd = Hd + jnp.diag(diag_fix + lam * diag_h) + DAMPING * jnp.eye(
+    floor = DAMPING + 1e-4 * jnp.max(diag_h)
+    Hd = Hd + jnp.diag(diag_fix + lam * diag_h) + floor * jnp.eye(
         3 * v, dtype=Hd.dtype
     )
     L = jax.scipy.linalg.cho_factor(Hd, lower=True)
@@ -242,7 +247,10 @@ def optimize(g: PoseGraph, max_iters: int = MAX_GN_ITERS) -> tuple[PoseGraph, Ar
         dx, _ = _solve_normal(g_, lam)
         cand = g_._replace(poses=_apply(g_, dx))
         chi_cand = weighted_chi2(cand)
-        accept = chi_cand < chi_cur
+        # A NaN solve (failed Cholesky) yields NaN poses whose residuals
+        # are nan_to_num-zeroed — chi² == 0, a perfect score. Guard: a
+        # candidate must be finite to be accepted.
+        accept = (chi_cand < chi_cur) & jnp.all(jnp.isfinite(cand.poses))
         g_next = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), cand, g_
         )

@@ -32,6 +32,12 @@ from ..graph.loop_closure import (
     submap_bboxes,
     verify_loops,
 )
+from ..graph.submap import (
+    Submaps,
+    build_submaps,
+    submap_bboxes as merged_bboxes,
+    verify_loops_submap,
+)
 from ..graph.solve import PoseGraph, optimize
 from ..ops.odometry import odometry_keyframe
 from ..ops.preprocess import preprocess
@@ -51,6 +57,9 @@ class SlamConfig:
     rounds: int = 3                # gate→verify→optimize repetitions
     loop_radius: float = 2.0       # isLoopyArea constant-cov radius [m]
     gn_iters: int = 20
+    use_submaps: bool = False      # verify loops submap-vs-submap (MapNode
+    #                                hierarchy) instead of scan-vs-scan
+    submap_points: int = 768       # fixed point budget per submap
 
 
 class SlamResult(NamedTuple):
@@ -69,20 +78,32 @@ def _loop_round(
     rel_seq: Array,
     radius: Array | float | None = None,
     seq_weight: Array | None = None,
+    submaps: Submaps | None = None,
 ):
     """One gate→verify→prune→solve round over anchors; returns updated
     anchor poses and the number of accepted loops. ``radius`` may be a
     traced scalar so the compiled round is reusable across rounds with
     an escalating search radius. ``seq_weight [A-1]`` scales sequential
-    edge information (weak odometry intervals get INFO_WEAK/INFO_ADJ)."""
+    edge information (weak odometry intervals get INFO_WEAK/INFO_ADJ).
+    With ``submaps``, gating and verification run on the merged
+    keyframe-group clouds (the MapNode hierarchy) instead of single
+    anchor scans."""
     if radius is None:
         radius = cfg.loop_radius
-    bbox_lo, bbox_hi = submap_bboxes(model, anchor_scans, anchor_poses)
+    if submaps is not None:
+        bbox_lo, bbox_hi = merged_bboxes(submaps, anchor_poses)
+    else:
+        bbox_lo, bbox_hi = submap_bboxes(model, anchor_scans, anchor_poses)
     gate = gate_matrix(anchor_poses[:, :2], bbox_lo, bbox_hi, radius=radius)
     cand = select_candidates(gate, anchor_poses[:, :2], cfg.max_loops)
-    loops = verify_loops(
-        model, anchor_scans, anchor_poses, cand, max_corr=radius
-    )
+    if submaps is not None:
+        loops = verify_loops_submap(
+            submaps, anchor_poses, cand, max_corr=radius
+        )
+    else:
+        loops = verify_loops(
+            model, anchor_scans, anchor_poses, cand, max_corr=radius
+        )
     keep = consistency_prune(loops, anchor_poses)
 
     a = anchor_poses.shape[0]
@@ -144,9 +165,17 @@ def slam_offline(
     (scans, odo_poses, anchor_idx, anchor_scans, anchor_poses, rel_seq,
      seq_weight) = front(ranges)
 
+    submaps = None
+    if cfg.use_submaps:
+        submaps = jax.jit(
+            lambda s, p: build_submaps(
+                model, s, p, cfg.anchor_stride, cfg.submap_points
+            )
+        )(scans, odo_poses)
+
     round_fn = jax.jit(
-        lambda a_scans, a_poses, rels, radius, w: _loop_round(
-            model, cfg, a_scans, a_poses, rels, radius, w
+        lambda a_scans, a_poses, rels, radius, w, sm: _loop_round(
+            model, cfg, a_scans, a_poses, rels, radius, w, sm
         )
     )
     n_loops = jnp.asarray(0)
@@ -158,7 +187,7 @@ def slam_offline(
         # search, MapGraph.cpp:1012-1017).
         radius = jnp.asarray(cfg.loop_radius * (2.0**r), ranges.dtype)
         anchor_poses, n_loops, chi = round_fn(
-            anchor_scans, anchor_poses, rel_seq, radius, seq_weight
+            anchor_scans, anchor_poses, rel_seq, radius, seq_weight, submaps
         )
 
     final = jax.jit(
