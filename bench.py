@@ -51,7 +51,20 @@ def main():
     cur = jax.tree.map(lambda x: x[1:], scans)
     b = ref.ranges.shape[0]  # 2671 pairs
 
-    fn = jax.jit(jax.vmap(lambda a, c: match_psm(model, a, c, banded=True)))
+    # Fastest path on TPU: the fused Pallas kernel (true per-pair early
+    # exit); elsewhere fall back to the XLA fori-loop matcher.
+    from laser_slam_tpu.ops.pallas.psm_kernel import (
+        match_psm_pallas,
+        supports_model,
+    )
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu and supports_model(model):
+        log_err("using fused Pallas PSM kernel")
+        fn = jax.jit(lambda a, c: match_psm_pallas(model, a, c))
+    else:
+        log_err("using XLA vmapped PSM matcher")
+        fn = jax.jit(jax.vmap(lambda a, c: match_psm(model, a, c, banded=True)))
 
     def run_once():
         eps = jnp.asarray(

@@ -154,7 +154,7 @@ def update_icp(
         )
     )(state.poses)
     lik = jnp.where(res.fail, 1e-6, res.goodness)
-    poses = jnp.where((res.fail | ~nudge)[:, None], state.poses, res.pose)
+    poses = jnp.where((res.fail | (not nudge))[:, None], state.poses, res.pose)
     log_w = _normalize(state.log_w + jnp.log(lik + 1e-12))
     return ParticleState(poses=poses, log_w=log_w)
 

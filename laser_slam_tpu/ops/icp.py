@@ -101,9 +101,6 @@ def match_icp(
     jm1 = jnp.maximum(jnp.arange(n) - 1, 0)
     jp1 = jnp.minimum(jnp.arange(n) + 1, n - 1)
 
-    def cond(c: _IcpCarry):
-        return (c.it < MAX_ITER_ICP) & (c.small_cnt < 3) & ~c.fail
-
     def body(c: _IcpCarry) -> _IcpCarry:
         measure = (
             100.0 * (jnp.abs(c.corr[0]) + jnp.abs(c.corr[1]))
@@ -187,5 +184,14 @@ def match_icp(
         err=jnp.asarray(1e6, dtype),
         n_valid=jnp.asarray(0, jnp.int32),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    # Fixed-trip loop with a freeze mask instead of a data-dependent
+    # ``while_loop`` — a batched while-cond serializes the batch under
+    # ``vmap`` on TPU; frozen lanes preserve the reference's early exit
+    # (pm_icp stop condition, ZHPolar_Match.cpp:1729-1733).
+    def step(_, c: _IcpCarry) -> _IcpCarry:
+        done = (c.small_cnt >= 3) | c.fail
+        nxt = body(c)
+        return jax.tree.map(lambda old, new: jnp.where(done, old, new), c, nxt)
+
+    out = jax.lax.fori_loop(0, MAX_ITER_ICP, step, init)
     return MatchResult(pose=out.pose, err=out.err, fail=out.fail, n_valid=out.n_valid)

@@ -93,9 +93,6 @@ def match_plicp(
     cur_ok = ~cur.bad
     ref_bad = ref.bad
 
-    def cond(c: _Carry):
-        return (c.it < MAX_ITERATIONS) & ~c.done & ~c.fail
-
     def body(c: _Carry) -> _Carry:
         q = se2.transform_points(c.pose, cur_pts)               # [N, 2]
         j1, j2, d1 = _two_nearest(model, ref_pts, ref_bad, q)
@@ -175,7 +172,16 @@ def match_plicp(
         n_valid=jnp.asarray(0, jnp.int32),
         hess=jnp.eye(3, dtype=dtype),
     )
-    out = jax.lax.while_loop(cond, body, init)
+    # Fixed-trip loop with a freeze mask instead of a data-dependent
+    # ``while_loop`` — a batched while-cond serializes the batch under
+    # ``vmap`` on TPU; frozen lanes preserve sm_icp's termination
+    # (epsilon_xy/epsilon_theta, ZHCanonical_Matcher.cpp:99-101).
+    def step(_, c: _Carry) -> _Carry:
+        frozen = c.done | c.fail
+        nxt = body(c)
+        return jax.tree.map(lambda old, new: jnp.where(frozen, old, new), c, nxt)
+
+    out = jax.lax.fori_loop(0, MAX_ITERATIONS, step, init)
 
     # Covariance ≈ σ² (JᵀJ)⁻¹ from the final normal matrix — the quantity
     # the reference obtains from Censi's cov_x_m and feeds to the graph

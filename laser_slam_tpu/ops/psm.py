@@ -172,9 +172,6 @@ def match_psm(
         measure = 100.0 * (jnp.abs(corr[0]) + jnp.abs(corr[1])) + jnp.abs(corr[2])
         return jnp.where(measure < STOP_COND, small_cnt + 1, 0)
 
-    def cond(c: _PsmCarry):
-        return (c.it < MAX_ITER // 2) & (c.small_cnt < 3) & ~c.fail
-
     def body(c: _PsmCarry) -> _PsmCarry:
         # -- orientation half-step (even reference iterations) --
         small_cnt = small_step(c.small_cnt, c.corr)
@@ -213,7 +210,22 @@ def match_psm(
         fail=jnp.asarray(False),
         avg_err=jnp.asarray(LARGE_ERR, dtype),
     )
-    out = jax.lax.while_loop(cond, body, init)
+
+    # Fixed-trip loop with a freeze mask instead of a data-dependent
+    # ``while_loop``: under ``vmap`` a batched while-cond serializes the
+    # batch on TPU (measured ~300x slower and long enough to trip the
+    # device watchdog on full-log batches); a masked ``fori_loop``
+    # compiles to one dense batched program. Converged/failed lanes keep
+    # their carry, which is exactly the reference's early exit
+    # (pm_psm stop condition, ZHPolar_Match.cpp:934-938).
+    def step(_, c: _PsmCarry) -> _PsmCarry:
+        done = (c.small_cnt >= 3) | c.fail
+        nxt = body(c)
+        return jax.tree.map(
+            lambda old, new: jnp.where(done, old, new), c, nxt
+        )
+
+    out = jax.lax.fori_loop(0, MAX_ITER // 2, step, init)
     pose = out.pose.at[2].set(se2.normalize_angle(out.pose[2]))
     return MatchResult(
         pose=pose, err=out.avg_err, fail=out.fail, n_valid=jnp.asarray(0, jnp.int32)
