@@ -204,3 +204,52 @@ def consistency_prune(loops: VerifiedLoops, anchor_poses: Array) -> Array:
     # Require support from at least a third of accepted loops (≥1).
     min_votes = jnp.maximum(n_acc // 3, 1)
     return loops.accept & (votes >= min_votes)
+
+
+def verify_loops_features(
+    model: LaserModel,
+    anchor_scans: Scan,
+    anchor_poses: Array,
+    cand: LoopCandidates,
+    seed: int = 0,
+) -> VerifiedLoops:
+    """Feature-RANSAC loop verification — the reference's descriptor
+    path (``CMapNode::matchNodePair`` RANSAC feature matching,
+    src/mapGraph/MapNode.cpp:657-698 / FlirterNode.cpp:394-423) as a
+    batched alternative to :func:`verify_loops`.
+
+    Detects + describes interest points on every anchor once (vmapped),
+    then RANSAC-matches each candidate pair at once. Unlike ICP
+    verification it needs no initial pose, so it also validates loops
+    whose odometry guess has drifted beyond ICP's convergence basin;
+    ``quality`` is the inlier fraction of the feature budget.
+    """
+    from ..features import describe_features, detect_features, match_features
+
+    feats = jax.vmap(lambda s: detect_features(model, s))(anchor_scans)
+    descs = jax.vmap(lambda s, f: describe_features(model, s, f))(
+        anchor_scans, feats
+    )
+
+    fa = jax.tree.map(lambda x: x[cand.src], feats)
+    fb = jax.tree.map(lambda x: x[cand.dst], feats)
+    da = descs[cand.src]
+    db = descs[cand.dst]
+    keys = jax.random.split(jax.random.PRNGKey(seed), cand.src.shape[0])
+    res = jax.vmap(match_features)(fa, da, fb, db, keys)
+
+    # Gate against the current estimate like isBigTrafo (MapGraph.cpp:
+    # 2103-2114) but with a wider radius: features tolerate more drift.
+    init = se2.relative(anchor_poses[cand.src], anchor_poses[cand.dst])
+    delta = se2.relative(init, res.pose)
+    small_corr = (
+        jnp.linalg.norm(delta[:, :2], axis=-1) < 2.0 * MAX_TRANSFORM_DELTA
+    ) & (jnp.abs(se2.normalize_angle(delta[:, 2])) < MAX_ANGLE_DELTA)
+
+    k = feats.valid.shape[-1]
+    quality = res.n_inliers.astype(res.pose.dtype) / float(k)
+    accept = cand.valid & ~res.fail & small_corr & (res.n_inliers >= 8)
+    rel = jnp.where(accept[:, None], jnp.nan_to_num(res.pose), 0.0)
+    return VerifiedLoops(
+        src=cand.src, dst=cand.dst, rel=rel, quality=quality, accept=accept
+    )
