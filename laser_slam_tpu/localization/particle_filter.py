@@ -255,3 +255,70 @@ def global_relocalize(
         poses=poses[idx],
         log_w=_normalize(jnp.log(vals + 1e-12)),
     )
+
+
+# --- KLD adaptive sampling (MRPT MCL demo parity) -----------------------
+# The reference vendors MRPT's pf-localization app whose sample size is
+# chosen by KLD-sampling (CMonteCarloLocalization2D with adaptive KLD,
+# src/mrptpf/pf_localization_main.cpp:162). Fox's bound: with k occupied
+# histogram bins, n >= (k-1)/(2eps) * (1 - 2/(9(k-1)) +
+# sqrt(2/(9(k-1))) * z_{1-delta})^3 keeps the KL divergence between the
+# sampled and true posterior below eps with confidence 1-delta.
+#
+# On TPU the cloud is fixed-shape, so instead of growing/shrinking
+# arrays the adaptive size becomes an *active-particle count*: excess
+# particles get -inf log weight and drop out of estimates, resampling,
+# and updates (their lanes still compute — fixed shapes are the point).
+
+KLD_BIN_XY = 0.5          # [m] histogram bin (MRPT default KLD_binSize_XY)
+KLD_BIN_THETA = 0.1745    # [rad] 10 deg (KLD_binSize_PHI)
+KLD_EPSILON = 0.02        # KLD_delta
+KLD_Z = 2.326             # z_{1-delta} for delta = 0.01
+KLD_MIN_PARTICLES = 64
+
+
+def kld_sample_size(
+    state: ParticleState,
+    bin_xy: float = KLD_BIN_XY,
+    bin_theta: float = KLD_BIN_THETA,
+    epsilon: float = KLD_EPSILON,
+    z: float = KLD_Z,
+) -> Array:
+    """Fox's KLD bound on the number of particles needed, from the count
+    of occupied (x, y, theta) histogram bins of the *live* cloud."""
+    live = jnp.isfinite(state.log_w)
+    bx = jnp.floor(state.poses[:, 0] / bin_xy).astype(jnp.int32)
+    by = jnp.floor(state.poses[:, 1] / bin_xy).astype(jnp.int32)
+    bt = jnp.floor(
+        se2.normalize_angle(state.poses[:, 2]) / bin_theta
+    ).astype(jnp.int32)
+    # Distinct-bin count via sort: fixed-shape "unique" (int32 spatial
+    # hash; collisions only make the bound slightly conservative).
+    sentinel = jnp.iinfo(jnp.int32).max
+    key = (bx * 73856093) ^ (by * 19349663) ^ (bt * 83492791)
+    key = jnp.where(live & (key != sentinel), key, sentinel)
+    s = jnp.sort(key)
+    new_bin = jnp.concatenate(
+        [jnp.ones(1, bool), s[1:] != s[:-1]]
+    ) & (s != sentinel)
+    k = jnp.maximum(jnp.sum(new_bin), 2).astype(jnp.float32)
+
+    km1 = k - 1.0
+    a = 2.0 / (9.0 * km1)
+    n = km1 / (2.0 * epsilon) * (1.0 - a + jnp.sqrt(a) * z) ** 3
+    return jnp.clip(n, KLD_MIN_PARTICLES, state.n).astype(jnp.int32)
+
+
+def kld_resample(state: ParticleState, key: Array) -> ParticleState:
+    """Systematic resample sized by the KLD bound: the first ``n_kld``
+    lanes carry the resampled posterior, the rest are parked at -inf
+    weight. Fixed compute, adaptive effective cloud size."""
+    n = state.n
+    n_kld = kld_sample_size(state)
+    resampled = systematic_resample(state, key)
+    lane = jnp.arange(n)
+    active = lane < n_kld
+    log_w = jnp.where(active, 0.0, -jnp.inf)
+    return ParticleState(
+        poses=resampled.poses, log_w=_normalize(log_w)
+    )

@@ -133,3 +133,35 @@ def test_neff():
         poses=jnp.zeros((4, 3)), log_w=jnp.log(jnp.asarray([0.97, 0.01, 0.01, 0.01]))
     )
     assert float(pf.neff(state)) < 1.1
+
+
+def test_kld_sample_size_scales_with_spread():
+    """A concentrated cloud needs few particles; a dispersed one needs
+    many (Fox's KLD bound, MRPT adaptive-sampling parity)."""
+    import jax
+    import jax.numpy as jnp
+    from laser_slam_tpu.localization.particle_filter import (
+        ParticleState,
+        kld_resample,
+        kld_sample_size,
+        _normalize,
+    )
+
+    p = 2048
+    key = jax.random.PRNGKey(0)
+    tight = ParticleState(
+        poses=jax.random.normal(key, (p, 3)) * 0.05,
+        log_w=_normalize(jnp.zeros(p)),
+    )
+    wide = ParticleState(
+        poses=jax.random.uniform(key, (p, 3), minval=-20.0, maxval=20.0),
+        log_w=_normalize(jnp.zeros(p)),
+    )
+    n_tight = int(kld_sample_size(tight))
+    n_wide = int(kld_sample_size(wide))
+    assert n_tight < n_wide
+    assert n_wide <= p
+
+    out = jax.jit(kld_resample)(wide, jax.random.PRNGKey(1))
+    live = int(jnp.sum(jnp.isfinite(out.log_w)))
+    assert live == n_wide or abs(live - n_wide) <= 1
