@@ -1,0 +1,149 @@
+"""Robot application layer: config parsing, beacon trilateration, task
+engine, portal round-trip (reference: src/Main-Ctrl/)."""
+
+import socket
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laser_slam_tpu.app import (
+    NetPortal,
+    TaskEngine,
+    TaskState,
+    load_config,
+    parse_tags,
+    trilaterate,
+)
+from laser_slam_tpu.app.config import config_from_tags
+from laser_slam_tpu.core.scan import LMS211
+from laser_slam_tpu.mapping.occupancy import GridSpec2D, OccupancyGrid
+from laser_slam_tpu.ops.preprocess import preprocess
+
+MODEL = LMS211
+
+
+def test_config_parses_reference_style_xml(tmp_path):
+    # Includes the reference Conf.xml's malformed closing tags on purpose.
+    text = """<Params>
+<IPA>192.168.0.161</IPA>
+<PortA>8878</PortA>
+<LaserBIP>192.168.1.6</LaserAIP>
+<LaserBPort>8976</LaserAPort>
+<LogFile>./robot.txt</LogFile>
+<RobotID>18</RobotID>
+<MainSICKWeight>0.5</MainSICKWeight>
+<OriX>870</OriX>
+<RunMode>3</RunMode>
+<Robot_Len>0.8</Robot_Len>
+"""
+    p = tmp_path / "Conf.xml"
+    p.write_text(text)
+    cfg = load_config(str(p))
+    assert cfg.slam_a.ip == "192.168.0.161" and cfg.slam_a.port == 8878
+    assert cfg.laser_b.ip == "192.168.1.6" and cfg.laser_b.port == 8976
+    assert cfg.robot_id == 18
+    assert cfg.run_mode == 3
+    assert abs(cfg.origin_x - 8.70) < 1e-6  # cm -> m
+    assert cfg.raw["Robot_Len"] == "0.8"
+    assert parse_tags("<A>1</A><A>2</A>")["A"] == "2"  # last wins
+
+
+def test_trilateration_recovers_position():
+    beacons = jnp.asarray(
+        [[0.0, 0.0], [10.0, 0.0], [0.0, 8.0], [10.0, 8.0]], jnp.float32
+    )
+    truth = jnp.asarray([3.0, 2.0], jnp.float32)
+    rng = np.random.default_rng(0)
+    ranges = jnp.linalg.norm(beacons - truth[None, :], axis=-1)
+    ranges = ranges + jnp.asarray(rng.normal(0, 0.01, 4), jnp.float32)
+    fix = jax.jit(trilaterate)(beacons, ranges, jnp.ones(4, bool))
+    assert not bool(fix.fail)
+    assert float(jnp.linalg.norm(fix.xy - truth)) < 0.05
+    assert float(fix.err) < 0.05
+
+    # Two beacons only -> fail flag.
+    fix2 = trilaterate(beacons, ranges, jnp.asarray([True, True, False, False]))
+    assert bool(fix2.fail)
+
+
+def _free_grid(size=120, res=0.1):
+    spec = GridSpec2D(
+        resolution=res, width=size, height=size,
+        origin_x=0.0, origin_y=0.0,
+    )
+    lo = -np.ones((size, size), np.float32)  # all free
+    lo[0, :] = 5.0; lo[-1, :] = 5.0; lo[:, 0] = 5.0; lo[:, -1] = 5.0
+    return OccupancyGrid(spec=spec, log_odds=jnp.asarray(lo))
+
+
+def _open_scan():
+    r = np.full(181, 10.0, np.float32)
+    return jax.tree.map(
+        lambda a: a[0], preprocess(jnp.asarray(r)[None, :], MODEL)
+    )
+
+
+def test_task_engine_plans_tracks_and_completes():
+    grid = _free_grid()
+    eng = TaskEngine(MODEL, grid, goal_tolerance=0.3, robot_radius=0.2)
+    assert eng.state is TaskState.IDLE
+    eng.add_goal((8.0, 8.0))
+    assert eng.state is TaskState.PLANNING
+
+    scan = _open_scan()
+    pose = np.array([2.0, 2.0, 0.0], np.float32)
+    cmd = eng.step(pose, scan)
+    assert eng.state is TaskState.TRACKING
+    assert float(cmd.v) > 0.0  # moving toward the goal
+
+    # Teleport to the goal: engine must report DONE and stop.
+    cmd = eng.step(np.array([8.0, 8.0, 0.0], np.float32), scan)
+    assert eng.state is TaskState.DONE
+    assert float(cmd.v) == 0.0
+
+
+def test_portal_command_roundtrip():
+    goals, cancels = [], []
+    portal = NetPortal(
+        on_goto=lambda x, y: goals.append((x, y)),
+        on_cancel=lambda: cancels.append(1),
+        get_pose=lambda: (1.0, 2.0, 0.5),
+        get_state=lambda: "tracking",
+    )
+    portal.start()
+    try:
+        with socket.create_connection(("127.0.0.1", portal.port), timeout=5) as c:
+            f = c.makefile("rw", encoding="utf-8", newline="\n")
+            for cmd, expect in [
+                ("PING", "PONG"),
+                ("GOTO 3.5 -1.25", "OK"),
+                ("POSE", "POSE 1.0000 2.0000 0.5000"),
+                ("STATE", "STATE tracking"),
+                ("CANCEL", "OK"),
+                ("BOGUS", "ERR unknown"),
+            ]:
+                f.write(cmd + "\n"); f.flush()
+                assert f.readline().strip() == expect
+    finally:
+        portal.stop()
+    assert goals == [(3.5, -1.25)]
+    assert cancels == [1]
+
+
+def test_robot_controller_smoke(tmp_path):
+    from laser_slam_tpu.app import RobotController
+    from laser_slam_tpu.app.config import RobotConfig
+    from tests.test_features import _room_ranges
+
+    cfg = RobotConfig(log_file=str(tmp_path / "robot.log"))
+    bot = RobotController(MODEL, config=cfg, work_mode="mapping")
+    try:
+        for i in range(3):
+            bot.on_odometry(0.1 * i, 0.0, 0.0)
+            pose = bot.on_scan_main(_room_ranges((0.1 * i, 0.0, 0.0), seed=i))
+            assert pose is not None
+        assert bot.control_tick() is None  # no task engine without a grid
+    finally:
+        bot.shutdown()
+    assert (tmp_path / "robot.log").exists()
