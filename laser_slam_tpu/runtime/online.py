@@ -137,6 +137,80 @@ class OnlineSlam:
             empty_grid(spec), self.model, scans, jnp.asarray(traj)
         )
 
+    # -- checkpoint / resume ---------------------------------------------
+    # The reference has no checkpointing (persistence = final logs only);
+    # here a session snapshots to one .npz and resumes mid-log.
+
+    def save(self, path: str) -> None:
+        from ..utils.checkpoint import save_pytree
+
+        state = {
+            "poses": np.stack(self._poses) if self._poses else np.zeros((0, 3)),
+            "weak": np.asarray(self._weak, bool),
+            "carry": self._carry,
+            "all_scans": (
+                jax.tree.map(lambda *xs: jnp.stack(xs), *self._all_scans)
+                if getattr(self, "_all_scans", None)
+                else None
+            ),
+        }
+        save_pytree(
+            path, state,
+            meta={
+                "t": self._t,
+                "n_anchors": len(self._scans),
+                "anchor_stride": self.cfg.anchor_stride,
+                "model": self.model.name,
+            },
+        )
+
+    @classmethod
+    def resume(cls, model: LaserModel, path: str, **kwargs) -> "OnlineSlam":
+        from ..ops.odometry import _OdoCarry
+        from ..utils.checkpoint import load_pytree
+
+        flat, meta = load_pytree(path)
+        if meta["model"] != model.name:
+            raise ValueError(
+                f"checkpoint is for model {meta['model']}, got {model.name}"
+            )
+        slam = cls(model, **kwargs)
+        t = int(meta["t"])
+        poses = flat["poses"]
+        slam._poses = [poses[i] for i in range(poses.shape[0])]
+        slam._weak = [bool(b) for b in flat["weak"]]
+        slam._t = t
+        stride = int(meta["anchor_stride"])
+        ranges = flat["all_scans/ranges"]
+        scans = [
+            Scan(
+                ranges=jnp.asarray(ranges[i]),
+                bad=jnp.asarray(flat["all_scans/bad"][i]),
+                seg=jnp.asarray(flat["all_scans/seg"][i]),
+            )
+            for i in range(ranges.shape[0])
+        ]
+        slam._all_scans = scans
+        slam._scans = [scans[i] for i in range(0, len(scans), stride)][
+            : int(meta["n_anchors"])
+        ]
+        slam._carry = _OdoCarry(
+            ref=Scan(
+                jnp.asarray(flat["carry/ref/ranges"]),
+                jnp.asarray(flat["carry/ref/bad"]),
+                jnp.asarray(flat["carry/ref/seg"]),
+            ),
+            last=Scan(
+                jnp.asarray(flat["carry/last/ranges"]),
+                jnp.asarray(flat["carry/last/bad"]),
+                jnp.asarray(flat["carry/last/seg"]),
+            ),
+            ref_gpose=jnp.asarray(flat["carry/ref_gpose"]),
+            last_gpose=jnp.asarray(flat["carry/last_gpose"]),
+            prior_rel=jnp.asarray(flat["carry/prior_rel"]),
+        )
+        return slam
+
     # -- internals ------------------------------------------------------
 
     def _maybe_anchor(self, scan: Scan, t: int) -> None:
