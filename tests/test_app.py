@@ -147,3 +147,40 @@ def test_robot_controller_smoke(tmp_path):
     finally:
         bot.shutdown()
     assert (tmp_path / "robot.log").exists()
+
+
+def test_motor_link_frames_and_replies():
+    from laser_slam_tpu.app.serial_ctrl import (
+        CMD_DRIVE,
+        LoopbackTransport,
+        MotorLink,
+        decode_frames,
+        encode_frame,
+    )
+
+    # Codec: garbage + split frames resync correctly.
+    f = encode_frame(CMD_DRIVE, b"\x01\x02")
+    buf = bytearray(b"\xff\x00" + f + f[:3])
+    frames = decode_frames(buf)
+    assert frames == [(CMD_DRIVE, b"\x01\x02")]
+    assert bytes(buf) == f[:3]  # partial frame retained
+
+    # Corrupted checksum is skipped.
+    bad = bytearray(f)
+    bad[-1] ^= 0xFF
+    assert decode_frames(bad) == []
+
+    link = MotorLink(LoopbackTransport(), wheel_base=0.5)
+    link.drive(0.5, 0.2)          # v, omega -> vL=0.45, vR=0.55
+    link.request_odometry()
+    link.request_status()
+    link.poll()
+    assert link.last_odometry is not None
+    assert abs(link.last_odometry.x - 1.5) < 1e-9
+    assert abs(link.last_odometry.theta - 0.7854) < 1e-9
+    assert link.last_status.battery_mv == 24000
+
+    import struct
+    frames = decode_frames(bytearray(b"".join(link._t.written)))
+    vL, vR, _, _ = struct.unpack("<hhHH", frames[0][1])
+    assert (vL, vR) == (450, 550)
