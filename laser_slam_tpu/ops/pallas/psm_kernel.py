@@ -16,9 +16,8 @@ convergence control) into one ``pallas_call``:
 - pair quantities are computed natively in ``[N,1]`` column orientation
   so the coverage matrix is pure broadcasting (no transposes).
 
-Beam counts are padded to 256 lanes; models up to 541 beams use 2-lane
-blocks (N_PAD=768 would exceed comfortable VMEM for the matrix — the
-541-beam LMS151 instead runs the XLA path; see ``supports_model``).
+Beam counts pad to 256 lanes (LMS211) or 512 lanes (LMS511/LMS151);
+the [512,512] f32 projection matrix is 1 MB — inside VMEM.
 
 Semantics match :mod:`..psm` (itself mirroring pm_psm,
 src/zhpsm/ZHPolar_Match.cpp:890-1003); see that module for the
@@ -47,12 +46,19 @@ from ..psm import (
     WEIGHTING_FACTOR,
 )
 
-N_PAD = 256
+MAX_PAD = 512
 BIG = 100.0  # empty-bin sentinel, same as project.EMPTY_RANGE
 
 
+def _n_pad(model: LaserModel) -> int:
+    """Lane padding: 128-lane multiples; 256 covers LMS211/181-beam,
+    512 covers the 361-beam LMS511 and 541-beam LMS151 ([512,512] f32
+    projection matrix = 1 MB, comfortably inside VMEM)."""
+    return 256 if model.n_beams <= 256 else 512
+
+
 def supports_model(model: LaserModel) -> bool:
-    return model.n_beams <= N_PAD
+    return model.n_beams <= MAX_PAD
 
 
 def _atan2(y, x):
@@ -84,7 +90,7 @@ PAIRS_PER_PROGRAM = 8  # TPU block sublane granularity
 def _kernel(
     ref_r_ref, ref_bad_ref, cur_r_ref, pair_ok_ref, init_ref,
     pose_ref, err_ref, fail_ref,
-    *, model: LaserModel, max_fused_iters: int,
+    *, model: LaserModel, max_fused_iters: int, n_pad: int,
 ):
     # fori over the 8 sub-pairs: the body traces once (8x smaller MLIR
     # than a python unroll, which Mosaic compiles painfully slowly).
@@ -92,7 +98,7 @@ def _kernel(
         _one_pair(
             ref_r_ref, ref_bad_ref, cur_r_ref, pair_ok_ref, init_ref,
             pose_ref, err_ref, fail_ref, s,
-            model=model, max_fused_iters=max_fused_iters,
+            model=model, max_fused_iters=max_fused_iters, n_pad=n_pad,
         )
         return 0
 
@@ -102,7 +108,7 @@ def _kernel(
 def _one_pair(
     ref_r_ref, ref_bad_ref, cur_r_ref, pair_ok_ref, init_ref,
     pose_ref, err_ref, fail_ref, s,
-    *, model: LaserModel, max_fused_iters: int,
+    *, model: LaserModel, max_fused_iters: int, n_pad: int,
 ):
     n = model.n_beams
     dfi = model.dfi
@@ -110,8 +116,8 @@ def _one_pair(
     w = model.window
     dtype = jnp.float32
 
-    lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, N_PAD), 1)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, 1), 0)
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
     fi_j = fi_min + dfi * lane_j.astype(dtype)               # [1, P]
     in_j = lane_j < n
     in_i = lane_i < n
@@ -123,8 +129,8 @@ def _one_pair(
 
     # Column-orientation copies of the current scan for the pair axis
     # (reshape the f32 rows — Mosaic can't relayout sub-32-bit types).
-    cur_r_col = cur_r_row.reshape(N_PAD, 1)
-    pair_ok_col = pair_ok_ref[pl.ds(s, 1), :].reshape(N_PAD, 1) > 0.5
+    cur_r_col = cur_r_row.reshape(n_pad, 1)
+    pair_ok_col = pair_ok_ref[pl.ds(s, 1), :].reshape(n_pad, 1) > 0.5
     fi_i = fi_min + dfi * lane_i.astype(dtype)               # [P, 1]
 
     co_j = jnp.cos(fi_j)
@@ -181,7 +187,7 @@ def _one_pair(
         for k, di in enumerate(range(-w, w + 1)):
             # pltpu.roll wants non-negative shifts; rolling by -di over
             # the padded circle is equivalent (wrapped lanes are masked).
-            sh = (-di) % N_PAD
+            sh = (-di) % n_pad
             ref_s = pltpu.roll(ref_r, shift=sh, axis=1)
             bad_s = pltpu.roll(ref_bad_row, shift=sh, axis=1) > 0.5
             inb = (lane_j + di >= 0) & (lane_j + di < n) & in_j
@@ -293,7 +299,8 @@ def match_psm_pallas(
     interpret: bool = False,
 ) -> MatchResult:
     """Batched fused PSM match: all inputs ``[B, N]`` (B ≥ 1)."""
-    assert supports_model(model), "use the XLA matcher for >256 beams"
+    assert supports_model(model), "use the XLA matcher for >512 beams"
+    n_pad = _n_pad(model)
     b_in, n = ref.ranges.shape
     if init_pose is None:
         init_pose = jnp.zeros((b_in, 3), jnp.float32)
@@ -308,7 +315,7 @@ def match_psm_pallas(
     cur = jax.tree.map(prep_b, cur)
     init_pose = prep_b(init_pose)
 
-    pad = N_PAD - n
+    pad = n_pad - n
 
     def prep(x, fill):
         return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad)),
@@ -327,7 +334,7 @@ def match_psm_pallas(
     pair_f = prep(pair_ok, 0.0)
 
     kernel = functools.partial(
-        _kernel, model=model, max_fused_iters=MAX_ITER // 2
+        _kernel, model=model, max_fused_iters=MAX_ITER // 2, n_pad=n_pad
     )
     g = PAIRS_PER_PROGRAM
     row = lambda i: (i, 0)
@@ -335,10 +342,10 @@ def match_psm_pallas(
         kernel,
         grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((g, N_PAD), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_PAD), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_PAD), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_PAD), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 3), row, memory_space=pltpu.VMEM),
         ],
         out_specs=[
