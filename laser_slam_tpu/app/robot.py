@@ -17,6 +17,7 @@ import numpy as np
 from ..core.scan import LaserModel
 from ..mapping.occupancy import OccupancyGrid
 from ..nav.controller import ControlCommand
+from ..nav.local_map import LocalMapService
 from ..ops.preprocess import preprocess
 from ..runtime.facade import SlamCallbacks, SlamV1
 from .config import RobotConfig, load_config
@@ -67,13 +68,25 @@ class RobotController:
             )
             self.portal.start()
             self.log.log(LOG_NET, f"portal listening on {self.portal.port}")
+        # ambient map around the robot (MapService/AmbientGridMap role)
+        self.local_map = LocalMapService(self.model)
         self._last_scan = None
 
     # -- sensor pumps ------------------------------------------------------
 
     def on_scan_main(self, ranges) -> np.ndarray | None:
         self._last_scan = np.asarray(ranges, np.float32)
-        return self.slam.feed_scan_main(self._last_scan)
+        pose = self.slam.feed_scan_main(self._last_scan)
+        if pose is not None:
+            import jax
+            import jax.numpy as jnp
+
+            scan = jax.tree.map(
+                lambda a: a[0],
+                preprocess(jnp.asarray(self._last_scan)[None, :], self.model),
+            )
+            self.local_map.stream_in(scan, np.asarray(pose, np.float32))
+        return pose
 
     def on_scan_minor(self, ranges) -> None:
         self.slam.feed_scan_minor(ranges)
