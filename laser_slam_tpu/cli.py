@@ -166,6 +166,39 @@ def cmd_localize(args):
     )
 
 
+def cmd_view(args):
+    """Replay a log in the live viewer (the reference's ui/rawseed
+    viewer role); headless by default, writes a GIF with --out."""
+    import numpy as np
+
+    from .viz.live import replay_log
+
+    log = _load(args.log, args.scans)
+    if args.traj:
+        poses = np.loadtxt(args.traj, dtype=np.float32)
+    elif log.gt_pose.size:
+        poses = log.gt_pose[: log.n_scans]
+    else:
+        raise SystemExit("no --traj and the log has no ground truth")
+    gt = log.gt_pose[: log.n_scans] if (args.traj and log.gt_pose.size) else None
+    v = replay_log(
+        log,
+        poses,
+        out=args.out,
+        stride=args.stride,
+        gt=gt,
+        interactive=args.interactive,
+    )
+    if args.out:
+        print(f"animation -> {args.out}")
+    if args.frame:
+        v.save_frame(args.frame)
+        print(f"final frame -> {args.frame}")
+    if args.interactive:
+        input("press enter to close...")
+    v.close()
+
+
 def cmd_eval(args):
     import jax.numpy as jnp
     import numpy as np
@@ -227,6 +260,15 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=200)
     sp.add_argument("--resolution", type=float, default=0.05)
     sp.set_defaults(fn=cmd_localize)
+
+    sp = sub.add_parser("view", help="live viewer replay of a log (GIF/window)")
+    common(sp)
+    sp.add_argument("--traj", help="trajectory file (default: GT poses)")
+    sp.add_argument("--out", help="write an animated GIF here")
+    sp.add_argument("--frame", help="write the final frame PNG here")
+    sp.add_argument("--stride", type=int, default=25)
+    sp.add_argument("--interactive", action="store_true")
+    sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser("eval", help="ATE/RPE of a trajectory vs log GT")
     sp.add_argument("traj")
