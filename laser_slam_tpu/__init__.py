@@ -7,7 +7,29 @@ loop closure, particle-filter localization, multi-sensor fusion, and a
 multi-chip execution path over ``jax.sharding`` meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: SLAM programs are large (whole-log
+# lax.scan odometry, batched loop rounds) and cold compiles run minutes;
+# warm runs must not pay that again. Opt out with LASER_SLAM_NO_CACHE=1.
+if not _os.environ.get("LASER_SLAM_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "LASER_SLAM_CACHE_DIR",
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "laser_slam_tpu", "xla"
+        ),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from .core import se2
 from .core.scan import LaserModel, Scan, LMS151, LMS211, LMS511, PRESETS

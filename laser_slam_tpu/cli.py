@@ -175,7 +175,9 @@ def cmd_view(args):
 
     log = _load(args.log, args.scans)
     if args.traj:
-        poses = np.loadtxt(args.traj, dtype=np.float32)
+        # Clamp to the loaded scan count: a full-log trajectory file
+        # replayed with --scans K would otherwise index past log.ranges.
+        poses = np.loadtxt(args.traj, dtype=np.float32)[: log.n_scans]
     elif log.gt_pose.size:
         poses = log.gt_pose[: log.n_scans]
     else:

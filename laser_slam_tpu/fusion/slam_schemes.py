@@ -242,7 +242,7 @@ def _particle_observe(pose, lm_mean, lm_cov, valid, z, R):
     upd_mean = lm_mean + K @ innov
     upd_cov = (jnp.eye(2) - K @ Hl) @ lm_cov
     loglik = -0.5 * (
-        innov @ Sinv @ innov + jnp.log(jnp.linalg.det(S)) + 2 * jnp.log(_TWO_PI / 2)
+        innov @ Sinv @ innov + jnp.log(jnp.linalg.det(S)) + 2 * jnp.log(_TWO_PI)
     )
     new_mean = jnp.where(valid, upd_mean, lm0)
     new_cov = jnp.where(valid, upd_cov, cov0)

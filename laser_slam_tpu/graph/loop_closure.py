@@ -86,41 +86,102 @@ def submap_bboxes(
     return lo, hi
 
 
+def drift_radius_matrix(
+    n: int,
+    r0: float | Array,
+    rate: float | Array,
+    rmax: float | Array,
+    dtype=jnp.float32,
+) -> Array:
+    """``[A, A]`` per-pair loop search radii that grow with the odometry
+    path length between the anchors.
+
+    The relative-pose uncertainty of anchors ``(i, j)`` accumulates over
+    the ``|j - i|`` odometry steps between them, so a revisit after a
+    long excursion must be searched in a drift-sized window while nearby
+    anchors keep a tight gate. This is the covariance-driven search of
+    the reference's non-constant ``isLoopyArea``
+    (src/mapGraph/MapGraph.cpp:995-1032, cov mode at 1012-1017) with the
+    chained covariance replaced by a linear drift-rate model
+    ``r = r0 + rate·gap`` clipped to ``rmax``.
+    """
+    ii = jnp.arange(n, dtype=dtype)
+    gap = jnp.abs(ii[None, :] - ii[:, None])
+    return jnp.clip(r0 + rate * gap, r0, rmax)
+
+
 def gate_matrix(
     centers: Array,
-    bbox_lo: Array,
-    bbox_hi: Array,
+    bbox_lo: Array | None = None,
+    bbox_hi: Array | None = None,
     radius: float | Array = LOOP_RADIUS,
     min_gap: int = MIN_INDEX_GAP,
+    overlap_min: float | None = BBOX_OVERLAP_MIN,
 ) -> Array:
     """``[A, A]`` bool: entry (i, j) true iff anchors i<j are loop-closure
-    candidates under the distance + bbox-overlap gates."""
+    candidates under the distance + bbox-overlap gates.
+
+    ``radius`` may be a scalar or a per-pair ``[A, A]`` matrix (see
+    :func:`drift_radius_matrix`). With a drift-sized radius the estimated
+    bboxes of true revisits may not overlap at all, so the overlap test
+    dilates each box by the per-pair radius; pass ``overlap_min=None``
+    to skip the overlap gate entirely.
+    """
     a = centers.shape[0]
+    radius = jnp.asarray(radius, centers.dtype)
     d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
     near = d2 <= radius * radius
 
-    lo_i, hi_i = bbox_lo[:, None, :], bbox_hi[:, None, :]
-    lo_j, hi_j = bbox_lo[None, :, :], bbox_hi[None, :, :]
-    inter_lo = jnp.maximum(lo_i, lo_j)
-    inter_hi = jnp.minimum(hi_i, hi_j)
-    inter = jnp.clip(inter_hi - inter_lo, 0.0)
-    inter_area = inter[..., 0] * inter[..., 1]
-    area_j = jnp.prod(jnp.clip(hi_j - lo_j, 1e-6), axis=-1)
-    overlap_ok = (inter_area / area_j) >= BBOX_OVERLAP_MIN
-
     ii = jnp.arange(a)
     ordered = (ii[None, :] - ii[:, None]) > min_gap   # j - i > gap
-    return near & overlap_ok & ordered
+    gate = near & ordered
+
+    if overlap_min is not None and bbox_lo is not None:
+        dil = jnp.broadcast_to(radius, (a, a))[..., None]
+        lo_i, hi_i = bbox_lo[:, None, :], bbox_hi[:, None, :]
+        lo_j, hi_j = bbox_lo[None, :, :], bbox_hi[None, :, :]
+        inter_lo = jnp.maximum(lo_i, lo_j) - 0.5 * dil
+        inter_hi = jnp.minimum(hi_i, hi_j) + 0.5 * dil
+        inter = jnp.clip(inter_hi - inter_lo, 0.0)
+        inter_area = inter[..., 0] * inter[..., 1]
+        area_j = jnp.prod(jnp.clip(hi_j - lo_j, 1e-6), axis=-1)
+        gate = gate & ((inter_area / area_j) >= overlap_min)
+    return gate
 
 
 def select_candidates(
-    gate: Array, centers: Array, max_pairs: int
+    gate: Array,
+    centers: Array,
+    max_pairs: int,
+    radius: Array | None = None,
+    per_dst: int = 0,
 ) -> LoopCandidates:
-    """Pick up to ``max_pairs`` gated pairs, nearest-first, fixed shape."""
+    """Pick up to ``max_pairs`` gated pairs, fixed shape.
+
+    Pairs are ranked by center distance normalized by the per-pair
+    search ``radius`` (a Mahalanobis-style score: a pair 6 m apart after
+    a 300-step excursion outranks one 3 m apart after 30 steps). With
+    ``per_dst > 0`` each destination anchor keeps at most that many
+    source candidates before the global cut — spreading the fixed
+    verification budget across the whole trajectory instead of letting
+    one dense revisit area monopolize it (the reference's counterpart
+    is its last-3 + random sampling, MapGraph.cpp:2063-2099).
+    """
     a = gate.shape[0]
     d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
-    score = jnp.where(gate, -d2, -jnp.inf).reshape(-1)
-    vals, idx = jax.lax.top_k(score, max_pairs)
+    if radius is not None:
+        norm = jnp.sqrt(d2) / jnp.maximum(radius, 1e-6)
+    else:
+        norm = d2
+    score = jnp.where(gate, -norm, -jnp.inf)
+
+    if per_dst > 0:
+        score_t = score.T                                  # [dst, src]
+        kth = jax.lax.top_k(score_t, min(per_dst, a))[0][:, -1]  # [dst]
+        keep = score_t >= kth[:, None]
+        score = jnp.where(keep.T, score, -jnp.inf)
+
+    vals, idx = jax.lax.top_k(score.reshape(-1), max_pairs)
     valid = jnp.isfinite(vals)
     return LoopCandidates(src=idx // a, dst=idx % a, valid=valid)
 
@@ -201,9 +262,156 @@ def consistency_prune(loops: VerifiedLoops, anchor_poses: Array) -> Array:
     agree = agree & loops.accept[None, :] & loops.accept[:, None]
     votes = jnp.sum(agree, axis=1)
     n_acc = jnp.sum(loops.accept)
-    # Require support from at least a third of accepted loops (≥1).
-    min_votes = jnp.maximum(n_acc // 3, 1)
+    # Require a small absolute cluster (self + 2 supporters). Corrections
+    # are drift-local: loops closing *different* revisit events carry
+    # different (all correct) corrections, so a fraction-of-total
+    # threshold would wrongly erase every cluster smaller than the
+    # biggest one; an absolute quorum keeps all real clusters while
+    # still dropping isolated spurious matches.
+    min_votes = jnp.minimum(n_acc, 3)
     return loops.accept & (votes >= min_votes)
+
+
+def _chunked_vmap(fn, args: tuple, chunk: int):
+    """``vmap(fn)(*args)`` evaluated ``chunk`` rows at a time with
+    ``lax.map`` — bounds live memory when the batch is large (hundreds
+    of loop candidates × submap point clouds)."""
+    c = args[0].shape[0]
+    if chunk <= 0 or c % chunk != 0:
+        return jax.vmap(fn)(*args)
+    resh = jax.tree.map(
+        lambda x: x.reshape((c // chunk, chunk) + x.shape[1:]), args
+    )
+    out = jax.lax.map(lambda a: jax.vmap(fn)(*a), resh)
+    return jax.tree.map(lambda x: x.reshape((c,) + x.shape[2:]), out)
+
+
+def verify_loops_correlative(
+    submaps,
+    anchor_poses: Array,
+    cand: LoopCandidates,
+    cand_radius: Array | None = None,
+    search_xy: float = 8.0,
+    search_theta: float = 0.8,
+    n_theta: int = 33,
+    coarse_res: float = 0.3,
+    coarse_points: int = 256,
+    chunk: int = 64,
+    coarse_chunk: int = 16,
+    coarse_min_score: float = 0.35,
+    quality_min: float = 0.35,
+    err_max: float = MATCH_ERR_MAX,
+    identity_init: bool = False,
+) -> VerifiedLoops:
+    """Init-free loop verification: coarse correlative search + trimmed
+    point-ICP polish + reciprocal check, submap-vs-submap.
+
+    This is the stage the round-1 pipeline lacked: ICP-only
+    verification needs the odometry guess inside its convergence basin,
+    but on a long loop (intel-lab) the guess is drift-sized (many
+    meters) and every true revisit fails to verify. Here each candidate
+    is searched exhaustively over ``±search_xy × ±search_theta`` on a
+    coarse likelihood grid (Olson-style correlative matching — the role
+    the reference fills with init-free RANSAC feature matching,
+    FlirterNode.cpp:394-423), then polished to metric accuracy with
+    ICP. Acceptance:
+
+    - the coarse peak clears ``coarse_min_score`` (mean point
+      likelihood);
+    - forward and backward ICP polishes, started from the coarse pose
+      and its inverse *independently*, converge to mutually inverse
+      transforms (reciprocal gate — spurious plateaus diverge);
+    - ICP goodness/error gates (ICP_QUALITY thresholds,
+      MapGraph.cpp:42-43, relaxed because submap pairs on opposite-
+      direction revisits share only partial coverage);
+    - the correction vs the current estimate stays inside the
+      per-candidate gate radius ``cand_radius`` (the uncertainty model
+      that proposed the pair; isBigTrafo's role, MapGraph.cpp:2103-2114).
+    """
+    from ..ops.correlative import match_correlative_points
+
+    ref_pts = submaps.points[cand.src]
+    ref_ok = submaps.valid[cand.src]
+    cur_pts = submaps.points[cand.dst]
+    cur_ok = submaps.valid[cand.dst]
+    odo_rel = se2.relative(anchor_poses[cand.src], anchor_poses[cand.dst])
+    if identity_init:
+        # A true revisit has a *small* relative pose by definition (the
+        # robot is back near the same spot) even when the odometry-frame
+        # estimate is tens of meters off — center the search on identity
+        # and ignore the drifted guess entirely.
+        init = jnp.zeros_like(odo_rel)
+    else:
+        init = odo_rel
+
+    # Coarse stage on a strided subsample (the blurred grid can't use
+    # more detail than its resolution anyway).
+    p = submaps.points.shape[1]
+    stride = max(p // coarse_points, 1)
+    coarse = _chunked_vmap(
+        lambda rp, ro, cp, co, ip: match_correlative_points(
+            rp, ro, cp[::stride], co[::stride], ip,
+            search_xy=search_xy, search_theta=search_theta,
+            n_theta=n_theta, res=coarse_res,
+            min_score=coarse_min_score,
+        ),
+        (ref_pts, ref_ok, cur_pts, cur_ok, init),
+        # The conv lowers to a grouped convolution whose group count is
+        # the chunk size; XLA compile time blows up superlinearly past
+        # ~16 groups, while runtime is MXU-bound either way.
+        coarse_chunk,
+    )
+
+    # Fine stage: independent forward/backward ICP polishes.
+    fwd = _chunked_vmap(
+        lambda rp, ro, cp, co, ip: match_icp_points(
+            rp, ro, cp, co, ip, max_corr=4.0 * coarse_res
+        ),
+        (ref_pts, ref_ok, cur_pts, cur_ok, coarse.pose),
+        chunk,
+    )
+    bwd = _chunked_vmap(
+        lambda cp, co, rp, ro, ip: match_icp_points(
+            cp, co, rp, ro, ip, max_corr=4.0 * coarse_res
+        ),
+        (cur_pts, cur_ok, ref_pts, ref_ok, se2.inverse(coarse.pose)),
+        chunk,
+    )
+    cycle = se2.compose(fwd.pose, bwd.pose)
+    reciprocal = (jnp.linalg.norm(cycle[:, :2], axis=-1) < 0.10) & (
+        jnp.abs(se2.normalize_angle(cycle[:, 2])) < 0.035
+    )
+
+    # The polish must stay near the correlative peak (else the peak was
+    # not a real alignment), and the total correction must fit the
+    # uncertainty that proposed the candidate.
+    d_polish = se2.relative(coarse.pose, fwd.pose)
+    near_peak = (
+        jnp.linalg.norm(d_polish[:, :2], axis=-1) < 3.0 * coarse_res
+    ) & (jnp.abs(se2.normalize_angle(d_polish[:, 2])) < 0.15)
+    delta = se2.relative(odo_rel, fwd.pose)
+    if cand_radius is None:
+        rad = jnp.full(init.shape[0], jnp.inf, init.dtype)
+    else:
+        rad = cand_radius
+    in_gate = jnp.linalg.norm(delta[:, :2], axis=-1) <= rad + 0.5
+
+    accept = (
+        cand.valid
+        & ~coarse.fail
+        & ~fwd.fail
+        & ~bwd.fail
+        & reciprocal
+        & near_peak
+        & in_gate
+        & (fwd.goodness >= quality_min)
+        & (fwd.err < err_max)
+    )
+    rel = jnp.where(accept[:, None], jnp.nan_to_num(fwd.pose), 0.0)
+    quality = jnp.nan_to_num(fwd.goodness * coarse.score)
+    return VerifiedLoops(
+        src=cand.src, dst=cand.dst, rel=rel, quality=quality, accept=accept
+    )
 
 
 def verify_loops_features(

@@ -373,6 +373,10 @@ def optimize_with_init(
     result scores better (the linear stage can only help if its
     assumptions hold — guard against pathological graphs)."""
     g_lin = linear_initialize(g)
-    better = weighted_chi2(g_lin) < weighted_chi2(g)
+    # NaN poses would zero out through nan_to_num in _edge_terms and
+    # score a perfect chi² — a failed linear solve must never win.
+    better = (weighted_chi2(g_lin) < weighted_chi2(g)) & jnp.all(
+        jnp.isfinite(g_lin.poses)
+    )
     g_start = jax.tree.map(lambda a, b: jnp.where(better, a, b), g_lin, g)
     return optimize(g_start, max_iters)

@@ -27,18 +27,21 @@ from ..core import se2
 from ..core.scan import LaserModel, Scan
 from ..graph.loop_closure import (
     consistency_prune,
+    drift_radius_matrix,
     gate_matrix,
     select_candidates,
     submap_bboxes,
     verify_loops,
+    verify_loops_correlative,
 )
+from ..graph.place_recognition import signature_gate, submap_signatures
 from ..graph.submap import (
     Submaps,
     build_submaps,
     submap_bboxes as merged_bboxes,
     verify_loops_submap,
 )
-from ..graph.solve import PoseGraph, optimize
+from ..graph.solve import PoseGraph, optimize, optimize_with_init
 from ..ops.odometry import odometry_keyframe
 from ..ops.preprocess import preprocess
 
@@ -60,6 +63,18 @@ class SlamConfig:
     use_submaps: bool = False      # verify loops submap-vs-submap (MapNode
     #                                hierarchy) instead of scan-vs-scan
     submap_points: int = 768       # fixed point budget per submap
+    # Correlative loop closing (init-free; the default pipeline).
+    use_correlative: bool = True
+    drift_rate: float = 0.10       # [m / anchor step] gate-radius growth
+    drift_anneal: float = 0.35     # per-round decay of drift_rate
+    radius_max: float = 6.0        # [m] clip of the gate radius
+    per_dst: int = 8               # candidate budget per later anchor
+    search_xy: float = 5.0         # [m] identity-centered verify window
+    n_theta: int = 72              # rotation samples over ±π
+    coarse_res: float = 0.3        # [m] correlative grid cell
+    verify_chunk: int = 64         # candidates per memory chunk
+    sig_per_dst: int = 6           # signature-gate candidates per anchor
+    min_quality: float = 0.35      # ICP goodness floor on loops
 
 
 class SlamResult(NamedTuple):
@@ -147,6 +162,94 @@ def _loop_round(
     return g_opt.poses, jnp.sum(keep), chi
 
 
+def _loop_round_correlative(
+    cfg: SlamConfig,
+    anchor_poses: Array,
+    rel_seq: Array,
+    rate: Array,
+    seq_weight: Array,
+    submaps: Submaps,
+    sig_gate: Array,
+):
+    """One init-free loop round: drift-aware pose gate ∪ appearance gate
+    → identity-centered correlative verification → consistency prune →
+    robust solve with linear (LAGO) initialization.
+
+    The round is the TPU form of the reference's addMapNodeCov loop
+    search (MapGraph.cpp:1272-1484) with its two blind spots fixed:
+    candidates are proposed even where the odometry estimate is useless
+    (appearance gate), and verification needs no initial guess
+    (identity-centered exhaustive search), so drift-sized loops close
+    instead of being silently unreachable.
+    """
+    a = anchor_poses.shape[0]
+    dtype = anchor_poses.dtype
+    centers = anchor_poses[:, :2]
+
+    rad = drift_radius_matrix(
+        a, cfg.loop_radius, rate, cfg.radius_max, dtype
+    )
+    pose_gate = gate_matrix(
+        centers, radius=rad, min_gap=5, overlap_min=None
+    )
+    gate = pose_gate | sig_gate
+    cand = select_candidates(
+        gate, centers, cfg.max_loops, radius=rad, per_dst=cfg.per_dst
+    )
+
+    # Trust radius for acceptance: the *unclipped* drift model — at
+    # large gaps odometry carries no information and the geometric
+    # verification gates alone must decide.
+    gap = jnp.abs(cand.dst - cand.src).astype(dtype)
+    trust = cfg.loop_radius + rate * gap
+
+    loops = verify_loops_correlative(
+        submaps,
+        anchor_poses,
+        cand,
+        cand_radius=trust,
+        search_xy=cfg.search_xy,
+        search_theta=float(jnp.pi),
+        n_theta=cfg.n_theta,
+        coarse_res=cfg.coarse_res,
+        chunk=cfg.verify_chunk,
+        quality_min=cfg.min_quality,
+        identity_init=True,
+    )
+    keep = consistency_prune(loops, anchor_poses)
+
+    seq_i = jnp.arange(a - 1, dtype=jnp.int32)
+    eye = jnp.eye(3, dtype=dtype)
+    i_all = jnp.concatenate([seq_i, loops.src.astype(jnp.int32)])
+    j_all = jnp.concatenate([seq_i + 1, loops.dst.astype(jnp.int32)])
+    meas = jnp.concatenate([rel_seq, loops.rel], axis=0)
+    info = jnp.concatenate(
+        [
+            jnp.tile(eye[None] * INFO_ADJ, (a - 1, 1, 1))
+            * seq_weight[:, None, None],
+            jnp.tile(eye[None] * INFO_LOOP, (cfg.max_loops, 1, 1))
+            * jnp.clip(loops.quality, 0.0, 1.0)[:, None, None],
+        ],
+        axis=0,
+    )
+    active = jnp.concatenate([jnp.ones(a - 1, bool), keep])
+    kernel = jnp.concatenate(
+        [jnp.zeros(a - 1, jnp.int32), jnp.ones(cfg.max_loops, jnp.int32)]
+    )
+    g = PoseGraph(
+        poses=anchor_poses,
+        v_active=jnp.ones(a, bool),
+        i=i_all,
+        j=j_all,
+        meas=meas,
+        info=info,
+        e_active=active,
+        kernel=kernel,
+    )
+    g_opt, chi = optimize_with_init(g, cfg.gn_iters)
+    return g_opt.poses, jnp.sum(keep), chi
+
+
 def slam_offline(
     model: LaserModel,
     ranges: Array,
@@ -166,29 +269,53 @@ def slam_offline(
      seq_weight) = front(ranges)
 
     submaps = None
-    if cfg.use_submaps:
+    if cfg.use_submaps or cfg.use_correlative:
         submaps = jax.jit(
             lambda s, p: build_submaps(
                 model, s, p, cfg.anchor_stride, cfg.submap_points
             )
         )(scans, odo_poses)
 
-    round_fn = jax.jit(
-        lambda a_scans, a_poses, rels, radius, w, sm: _loop_round(
-            model, cfg, a_scans, a_poses, rels, radius, w, sm
-        )
-    )
     n_loops = jnp.asarray(0)
     chi = jnp.asarray(0.0, ranges.dtype)
-    for r in range(cfg.rounds):
-        # Escalating search radius: early rounds close tight, reliable
-        # loops; later rounds, with drift already reduced, reach farther
-        # (the role of the reference's covariance-scaled isLoopyArea
-        # search, MapGraph.cpp:1012-1017).
-        radius = jnp.asarray(cfg.loop_radius * (2.0**r), ranges.dtype)
-        anchor_poses, n_loops, chi = round_fn(
-            anchor_scans, anchor_poses, rel_seq, radius, seq_weight, submaps
+
+    if cfg.use_correlative:
+        sig_gate = jax.jit(
+            lambda p, v: signature_gate(
+                submap_signatures(p, v), min_gap=5, per_dst=cfg.sig_per_dst
+            )
+        )(submaps.points, submaps.valid)
+        round_fn = jax.jit(
+            lambda a_poses, rels, rate, w, sm, sg: _loop_round_correlative(
+                cfg, a_poses, rels, rate, w, sm, sg
+            )
         )
+        for r in range(cfg.rounds):
+            # The drift-rate anneals: once a solve has absorbed the
+            # loops found so far, pose distances are trustworthy at
+            # tighter radii and the budget shifts to nearby pairs.
+            rate = jnp.asarray(
+                cfg.drift_rate * (cfg.drift_anneal**r), ranges.dtype
+            )
+            anchor_poses, n_loops, chi = round_fn(
+                anchor_poses, rel_seq, rate, seq_weight, submaps, sig_gate
+            )
+    else:
+        round_fn = jax.jit(
+            lambda a_scans, a_poses, rels, radius, w, sm: _loop_round(
+                model, cfg, a_scans, a_poses, rels, radius, w, sm
+            )
+        )
+        for r in range(cfg.rounds):
+            # Escalating search radius: early rounds close tight,
+            # reliable loops; later rounds, with drift already reduced,
+            # reach farther (the role of the reference's covariance-
+            # scaled isLoopyArea search, MapGraph.cpp:1012-1017).
+            radius = jnp.asarray(cfg.loop_radius * (2.0**r), ranges.dtype)
+            anchor_poses, n_loops, chi = round_fn(
+                anchor_scans, anchor_poses, rel_seq, radius, seq_weight,
+                submaps if cfg.use_submaps else None,
+            )
 
     final = jax.jit(
         lambda ap, op: _reattach(cfg, ap, op)

@@ -107,6 +107,13 @@ class LiveViewer:
         if particles is not None:
             self._particles.set_offsets(np.asarray(particles)[:, :2])
         self.ax.relim()
+        # relim() ignores scatter PathCollections — fold the scan /
+        # particle extents in explicitly so points stay in view even
+        # with no map underlay or spanning trajectory.
+        for coll in (self._scan, self._particles):
+            pts = coll.get_offsets()
+            if pts is not None and len(pts):
+                self.ax.update_datalim(np.asarray(pts))
         self.ax.autoscale_view()
         if self.interactive:
             self.fig.canvas.draw_idle()
@@ -181,7 +188,7 @@ def replay_log(
     v = LiveViewer(interactive=interactive)
     if grid is not None:
         v.set_map(grid)
-    poses = np.asarray(poses)
+    poses = np.asarray(poses)[: log.n_scans]
     t = 0
     for t in range(0, len(poses), max(1, stride)):
         v.update(

@@ -57,14 +57,14 @@ def test_viewer_with_map_underlay():
     v.close()
 
 
-def test_cli_view_writes_artifacts(tmp_path):
+def test_cli_view_writes_artifacts(tmp_path, intel_log_path):
     from laser_slam_tpu.cli import main
 
     frame = tmp_path / "view.png"
     main(
         [
             "view",
-            "/root/reference/data/intel-lab.log",
+            intel_log_path,
             "--scans",
             "60",
             "--stride",
