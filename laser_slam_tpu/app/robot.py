@@ -81,10 +81,16 @@ class RobotController:
             import jax
             import jax.numpy as jnp
 
-            scan = jax.tree.map(
-                lambda a: a[0],
-                preprocess(jnp.asarray(self._last_scan)[None, :], self.model),
-            )
+            # Reuse the scan the SLAM pipeline already preprocessed on
+            # device rather than filtering + uploading a second time.
+            scan = self.slam.last_scan
+            if scan is None:
+                scan = jax.tree.map(
+                    lambda a: a[0],
+                    preprocess(
+                        jnp.asarray(self._last_scan)[None, :], self.model
+                    ),
+                )
             self.local_map.stream_in(scan, np.asarray(pose, np.float32))
         return pose
 

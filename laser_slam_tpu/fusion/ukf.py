@@ -174,7 +174,11 @@ def update_nonlinear(
 class FusionInputs(NamedTuple):
     """One fusion tick's gated sensor data (the threadFusion loop gates
     each sensor by timestamp freshness, threadFusion.cpp:89-155).
-    Invalid sensors are masked, keeping the step jittable."""
+    Invalid sensors are masked, keeping the step jittable.
+
+    Timestamps default to +inf ("always fresh") so timestamp-free
+    callers keep the old behavior; a live pipeline should stamp each
+    observation with its capture time (seconds, any common origin)."""
 
     odom_rel: Array      # [3] odometry increment since last tick
     odom_valid: Array    # [] bool
@@ -182,6 +186,8 @@ class FusionInputs(NamedTuple):
     slam_valid: Array    # [] bool
     beacon_xy: Array     # [2]
     beacon_valid: Array  # [] bool
+    slam_t: Array = jnp.inf    # [] capture time of the SLAM pose
+    beacon_t: Array = jnp.inf  # [] capture time of the beacon fix
 
 
 def fusion_step(
@@ -190,18 +196,41 @@ def fusion_step(
     q: float = 0.05,
     r_slam: float = 0.02,
     r_beacon: float = 0.25,
-) -> UkfState:
+    filter_t: Array | float = -jnp.inf,
+) -> tuple[UkfState, Array]:
     """One fused tick: predict by odometry, then apply whichever
-    observations are fresh (prepareFusedNode_online semantics)."""
+    observations are fresh (prepareFusedNode_online semantics).
+
+    Timestamp gating mirrors the reference's fusion loop, which tracks
+    ``t_filter_current`` and consumes each sensor buffer only when it
+    holds a *newer* observation (updateMainSICKNode,
+    threadFusion.cpp:225-300): an observation stamped at or before
+    ``filter_t`` is stale (already consumed, or delivered out of order
+    after the filter advanced past it) and is skipped. Returns
+    ``(state, new_filter_t)``; pass the returned time into the next
+    tick. Callers that never stamp observations (all defaults) get the
+    old always-fresh behavior.
+    """
+    filter_t = jnp.asarray(filter_t, jnp.float32)
     motion = jnp.where(inp.odom_valid, inp.odom_rel, jnp.zeros(3))
     state = predict(state, motion, q)
 
+    slam_fresh = inp.slam_valid & (inp.slam_t > filter_t)
     upd_slam = update_pose(state, inp.slam_pose, r_slam)
     state = jax.tree.map(
-        lambda a, b: jnp.where(inp.slam_valid, a, b), upd_slam, state
+        lambda a, b: jnp.where(slam_fresh, a, b), upd_slam, state
     )
+    beacon_fresh = inp.beacon_valid & (inp.beacon_t > filter_t)
     upd_bn = update_partial(state, (0, 1), inp.beacon_xy, r_beacon)
     state = jax.tree.map(
-        lambda a, b: jnp.where(inp.beacon_valid, a, b), upd_bn, state
+        lambda a, b: jnp.where(beacon_fresh, a, b), upd_bn, state
     )
-    return state
+    consumed = jnp.stack(
+        [
+            jnp.where(slam_fresh & jnp.isfinite(inp.slam_t),
+                      inp.slam_t, filter_t),
+            jnp.where(beacon_fresh & jnp.isfinite(inp.beacon_t),
+                      inp.beacon_t, filter_t),
+        ]
+    )
+    return state, jnp.max(consumed)

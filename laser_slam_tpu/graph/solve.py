@@ -12,7 +12,9 @@ edge insertion at addEdgeToG2O 2382-2425). Design:
   system is assembled with ``segment_sum`` scatters into a dense
   ``[3V, 3V]`` matrix and solved by Cholesky on the MXU. The reference's
   submap hierarchy keeps V small (~N/10, MapGraph.cpp:725), so the dense
-  solve is both exact and fast; a matrix-free CG path covers large V;
+  solve is both exact and fast; past ``DENSE_SOLVER_MAX_V`` vertices the
+  matrix-free block-Jacobi CG path (:func:`_cg_solve_normal`) takes over
+  — O(E) per iteration, no dense factor;
 - robustness: Huber reweighting per edge instead of g2o kernels, plus the
   caller-side consistency pruning in :mod:`.loop_closure`;
 - gauge freedom fixed by anchoring vertex 0 (g2o's ``setFixed``).
@@ -185,6 +187,11 @@ def _solve_normal(g: PoseGraph, lam: Array) -> tuple[Array, Array]:
     """Solve the λ-damped normal equations; returns ``(dx [V,3], chi²)``."""
     v = g.poses.shape[0]
     Hd, b, chi2_w = assemble_normal_system(g)
+    return _chol_solve_damped(g, Hd, b, lam), chi2_w
+
+
+def _chol_solve_damped(g: PoseGraph, Hd: Array, b: Array, lam: Array) -> Array:
+    v = g.poses.shape[0]
     # Gauge fix: anchor vertex 0 with a strong prior instead of deleting
     # rows (keeps shapes static; equivalent to g2o setFixed).
     anchor = jnp.zeros(3 * v, dtype=Hd.dtype).at[:3].set(ANCHOR_WEIGHT)
@@ -201,9 +208,91 @@ def _solve_normal(g: PoseGraph, lam: Array) -> tuple[Array, Array]:
     Hd = Hd + jnp.diag(diag_fix + lam * diag_h) + floor * jnp.eye(
         3 * v, dtype=Hd.dtype
     )
-    L = jax.scipy.linalg.cho_factor(Hd, lower=True)
-    dx = jax.scipy.linalg.cho_solve(L, -b).reshape(v, 3)
-    return dx, chi2_w
+    # LU, not Cholesky: TPU's f32 Cholesky lowering NaNs on the ~1e6+
+    # condition numbers a gauge-anchored normal matrix reaches (verified
+    # on real intel-lab graphs; LU solves the same system exactly), and
+    # at submap-graph sizes the dense solve is microseconds either way.
+    # Matmul precision forced to full f32 — the TPU default truncates.
+    with jax.default_matmul_precision("highest"):
+        dx = jnp.linalg.solve(Hd, -b).reshape(v, 3)
+    return dx
+
+
+def _cg_solve_normal(
+    g: PoseGraph, lam: Array, cg_iters: int = 100, tol: float = 1e-6
+) -> tuple[Array, Array]:
+    """Matrix-free block-Jacobi-preconditioned CG on the damped normal
+    equations — the large-V path. Never materializes H: the operator is
+    two segment-scatter products over edge blocks ([E,3,3] einsums), so
+    cost is O(E·9) per iteration and memory O(V+E) instead of the dense
+    [3V,3V] factor (64 MB at V≈2.7k). Returns ``(dx [V,3], chi²)``."""
+    v = g.poses.shape[0]
+    dtype = g.poses.dtype
+    Hii, Hjj, Hij, bi, bj, chi = _edge_terms(g)
+
+    b = jnp.zeros((v, 3), dtype).at[g.i].add(bi).at[g.j].add(bj)
+
+    # Diagonal terms: gauge anchor, inactive-vertex identity, damping.
+    diag_blocks = (
+        jnp.zeros((v, 3, 3), dtype).at[g.i].add(Hii).at[g.j].add(Hjj)
+    )
+    eye3 = jnp.eye(3, dtype=dtype)
+    anchor = jnp.zeros((v,), dtype).at[0].set(ANCHOR_WEIGHT)
+    inactive = (~g.v_active).astype(dtype)
+    diag_h = jnp.clip(
+        jnp.diagonal(diag_blocks, axis1=-2, axis2=-1), 1.0
+    )                                                     # [V, 3]
+    floor = DAMPING + 1e-4 * jnp.max(diag_h)
+    extra = (
+        (anchor + inactive)[:, None, None] * eye3
+        + lam * diag_h[..., None] * eye3
+        + floor * eye3
+    )
+    diag_all = diag_blocks + extra
+
+    def hvp(x: Array) -> Array:                            # [V,3] → [V,3]
+        xi = x[g.i]
+        xj = x[g.j]
+        yi = jnp.einsum("eij,ej->ei", Hij, xj)
+        yj = jnp.einsum("eji,ej->ei", Hij, xi)             # Hijᵀ x_i
+        y = jnp.zeros((v, 3), dtype).at[g.i].add(yi).at[g.j].add(yj)
+        return y + jnp.einsum("vij,vj->vi", diag_all, x)
+
+    # Block-Jacobi preconditioner: per-vertex 3×3 inverse.
+    with jax.default_matmul_precision("highest"):
+        minv = jnp.linalg.inv(diag_all)
+
+        def precond(r):
+            return jnp.einsum("vij,vj->vi", minv, r)
+
+        rhs = -b
+        x0 = jnp.zeros((v, 3), dtype)
+        r0 = rhs - hvp(x0)
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+        b2 = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
+
+        def cond(s):
+            _, r, _, _, k = s
+            return (k < cg_iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+        def body(s):
+            x, r, p, rz, k = s
+            hp = hvp(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * hp
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, r, p, rz_new, k + 1)
+
+        x, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x0, r0, p0, rz0, 0)
+        )
+    return x, jnp.sum(chi)
 
 
 def _apply(g: PoseGraph, dx: Array) -> Array:
@@ -228,15 +317,31 @@ def gn_step(g: PoseGraph) -> tuple[PoseGraph, Array]:
     return g._replace(poses=_apply(g, dx)), chi
 
 
-def optimize(g: PoseGraph, max_iters: int = MAX_GN_ITERS) -> tuple[PoseGraph, Array]:
+# Above this vertex count the dense [3V,3V] Cholesky factor (O(V²)
+# memory, O(V³) time) loses to matrix-free CG; the submap hierarchy
+# keeps typical graphs far below it.
+DENSE_SOLVER_MAX_V = 1024
+
+
+def optimize(
+    g: PoseGraph,
+    max_iters: int = MAX_GN_ITERS,
+    solver: str = "auto",
+) -> tuple[PoseGraph, Array]:
     """Levenberg-Marquardt with accept/reject and adaptive λ.
 
     Plain GN oscillates on loop closures with large rotational residuals
     (the exact workload here: drift-sized corrections); LM's step control
     is what g2o's Levenberg variant provides. Fully on-device; returns
     ``(graph, final weighted chi²)``.
+
+    ``solver``: ``"chol"`` (dense Cholesky on the MXU), ``"cg"``
+    (matrix-free block-Jacobi CG for large V), or ``"auto"``.
     """
     dtype = g.poses.dtype
+    if solver == "auto":
+        solver = "cg" if g.poses.shape[0] > DENSE_SOLVER_MAX_V else "chol"
+    solve = _cg_solve_normal if solver == "cg" else _solve_normal
 
     def cond(state):
         g_, lam, chi_cur, it, stall = state
@@ -244,7 +349,7 @@ def optimize(g: PoseGraph, max_iters: int = MAX_GN_ITERS) -> tuple[PoseGraph, Ar
 
     def body(state):
         g_, lam, chi_cur, it, stall = state
-        dx, _ = _solve_normal(g_, lam)
+        dx, _ = solve(g_, lam)
         cand = g_._replace(poses=_apply(g_, dx))
         chi_cand = weighted_chi2(cand)
         # A NaN solve (failed Cholesky) yields NaN poses whose residuals
@@ -327,28 +432,54 @@ def linear_initialize(g: PoseGraph) -> PoseGraph:
         b = b.at[g.i].add(jnp.einsum("eki,ek->ei", rot_edges, rhs_edges) * w[:, None])
         b = b.at[g.j].add(-rhs_edges * w[:, None])
 
-        anchor = jnp.zeros((v, 2), dtype).at[0].set(anchor_val)
-        diag = jnp.zeros(2 * v, dtype).at[:2].set(ANCHOR_WEIGHT)
+        # Anchor/regularization sized for f32: the gauge prior only has
+        # to dominate typical edge information (~50), and the ridge only
+        # to floor the near-null chain modes — a 1e4/1e-4 split pushes
+        # the condition number past what TPU f32 factorizations survive.
+        lin_anchor = jnp.asarray(1e3, dtype)
+        diag = jnp.zeros(2 * v, dtype).at[:2].set(lin_anchor)
         Hd = H.transpose(0, 2, 1, 3).reshape(2 * v, 2 * v)
-        Hd = Hd + jnp.diag(diag) + 1e-4 * jnp.eye(2 * v, dtype=dtype)
+        Hd = Hd + jnp.diag(diag) + 1e-3 * jnp.eye(2 * v, dtype=dtype)
         rhs = -b.reshape(-1) + (jnp.zeros((v, 2), dtype).at[0].set(
-            anchor_val * ANCHOR_WEIGHT
+            anchor_val * lin_anchor
         )).reshape(-1)
-        L = jax.scipy.linalg.cho_factor(Hd, lower=True)
-        return jax.scipy.linalg.cho_solve(L, rhs).reshape(v, 2)
+        # LU at full f32 (TPU Cholesky NaNs at this conditioning).
+        with jax.default_matmul_precision("highest"):
+            return jnp.linalg.solve(Hd, rhs).reshape(v, 2)
 
-    # Stage 1: orientations via unit-circle embedding.
+    # Stage 1: orientations via unit-circle embedding, with one IRLS
+    # (Cauchy) reweighting pass: a plain linear solve has no robustness,
+    # and a handful of aliased false loops would bend every orientation;
+    # the reweight pass cuts their influence by their first-pass
+    # residual before the estimate anyone consumes is produced.
     dth = meas[:, 2]
     c, s = jnp.cos(dth), jnp.sin(dth)
     rot = jnp.stack(
         [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=-2
     )                                                   # [E, 2, 2]
     w_th = _masked_w(g, 2)
-    z = laplacian_solve(rot, jnp.zeros((meas.shape[0], 2), dtype), w_th,
-                        jnp.asarray([1.0, 0.0], dtype))
+    zero_rhs = jnp.zeros((meas.shape[0], 2), dtype)
+    e1 = jnp.asarray([1.0, 0.0], dtype)
+
+    def theta_residual(z):
+        zi = z[g.i] / jnp.maximum(
+            jnp.linalg.norm(z[g.i], axis=-1, keepdims=True), 1e-6
+        )
+        zj = z[g.j] / jnp.maximum(
+            jnp.linalg.norm(z[g.j], axis=-1, keepdims=True), 1e-6
+        )
+        pred = jnp.einsum("eij,ej->ei", rot, zi)
+        return jnp.linalg.norm(zj - pred, axis=-1)      # chord distance
+
+    z = laplacian_solve(rot, zero_rhs, w_th, e1)
+    r1 = theta_residual(z)
+    cau = jnp.asarray(0.5, dtype)                        # ~30° chord scale
+    w_irls = 1.0 / (1.0 + (r1 / cau) ** 2)
+    z = laplacian_solve(rot, zero_rhs, w_th * w_irls, e1)
     theta = jnp.arctan2(z[:, 1], z[:, 0])
 
-    # Stage 2: positions, orientations fixed.
+    # Stage 2: positions, orientations fixed; reuse the robustness
+    # weights (an edge with a wrong rotation has a wrong translation).
     ci, si = jnp.cos(theta[g.i]), jnp.sin(theta[g.i])
     rhs = jnp.stack(
         [
@@ -358,7 +489,7 @@ def linear_initialize(g: PoseGraph) -> PoseGraph:
         axis=-1,
     )                                                   # R(θ_i) δt
     eyeE = jnp.tile(jnp.eye(2, dtype=dtype)[None], (meas.shape[0], 1, 1))
-    w_t = 0.5 * (_masked_w(g, 0) + _masked_w(g, 1))
+    w_t = 0.5 * (_masked_w(g, 0) + _masked_w(g, 1)) * w_irls
     t = laplacian_solve(eyeE, rhs, w_t, g.poses[0, :2])
 
     new_poses = jnp.concatenate([t, theta[:, None]], axis=-1)
@@ -373,10 +504,13 @@ def optimize_with_init(
     result scores better (the linear stage can only help if its
     assumptions hold — guard against pathological graphs)."""
     g_lin = linear_initialize(g)
+    # Compare on the RAW chi² (no robust kernels): DCS scores a start
+    # that leaves loop residuals huge as *good* (it annihilates exactly
+    # the unexplained edges), so a weighted comparison would reject
+    # every loop-closing initialization in favor of drifted odometry —
+    # the precise failure mode this function exists to avoid.
     # NaN poses would zero out through nan_to_num in _edge_terms and
     # score a perfect chi² — a failed linear solve must never win.
-    better = (weighted_chi2(g_lin) < weighted_chi2(g)) & jnp.all(
-        jnp.isfinite(g_lin.poses)
-    )
+    better = (chi2(g_lin) < chi2(g)) & jnp.all(jnp.isfinite(g_lin.poses))
     g_start = jax.tree.map(lambda a, b: jnp.where(better, a, b), g_lin, g)
     return optimize(g_start, max_iters)

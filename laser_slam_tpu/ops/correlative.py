@@ -244,6 +244,65 @@ def correlative_score_volume(
     return vol / denom
 
 
+def correlative_top_peaks(
+    ref_pts: Array,
+    ref_ok: Array,
+    cur_pts: Array,
+    cur_ok: Array,
+    init_pose: Array,
+    n_peaks: int = 4,
+    search_xy: float = 5.0,
+    search_theta: float = float(jnp.pi),
+    n_theta: int = 72,
+    res: float = 0.3,
+    half_extent: float = 12.8,
+    blur_sigma: float = 1.0,
+) -> tuple[Array, Array]:
+    """Top ``n_peaks`` non-max-suppressed local maxima of the correlative
+    score volume: ``(poses [K, 3], scores [K])``, best first.
+
+    Partial-overlap matching (loop closure between submaps that share
+    only part of their coverage) routinely puts the *true* alignment at
+    a secondary peak — a corridor alignment that overlaps more wall mass
+    wins argmax. Measured on intel-lab revisits, the true pose is the
+    global peak only ~25-70% of the time (narrow vs wide reference) but
+    inside the top-4 peaks ~75%: every peak must be polished and gated,
+    not just the winner. NMS window: ±2 rotation samples × ±1 cell.
+    """
+    dtype = cur_pts.dtype
+    grid = build_likelihood_grid_points(
+        ref_pts, ref_ok, res=res, half_extent=half_extent,
+        blur_sigma=blur_sigma,
+    )
+    thetas = init_pose[2] + jnp.linspace(
+        -search_theta, search_theta, n_theta, dtype=dtype
+    )
+    n_steps = int(round(search_xy / res))
+    steps = jnp.arange(-n_steps, n_steps + 1, dtype=dtype) * res
+
+    vol = correlative_score_volume(
+        grid, cur_pts, cur_ok, thetas, n_steps, res, half_extent,
+        init_pose[:2],
+    )                                                     # [K, Ty, Tx]
+    pooled = jax.lax.reduce_window(
+        vol, -jnp.inf, jax.lax.max, (5, 3, 3), (1, 1, 1), "SAME"
+    )
+    is_peak = vol >= pooled
+    flat = jnp.where(is_peak, vol, -jnp.inf).reshape(-1)
+    scores, idx = jax.lax.top_k(flat, n_peaks)
+    kk, ka, kb = jnp.unravel_index(idx, vol.shape)
+    poses = jnp.stack(
+        [
+            init_pose[0] + steps[kb],
+            init_pose[1] + steps[ka],
+            se2.normalize_angle(thetas[kk]),
+        ],
+        axis=-1,
+    )
+    scores = jnp.where(jnp.isfinite(scores), scores, 0.0)
+    return poses, scores
+
+
 def match_correlative_points(
     ref_pts: Array,
     ref_ok: Array,

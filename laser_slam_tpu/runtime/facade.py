@@ -194,6 +194,15 @@ class SlamV1:
             return np.asarray(pf.estimate(self._pf_state))
         return self._odo_pose
 
+    @property
+    def last_scan(self):
+        """The most recent preprocessed :class:`Scan` (device-resident),
+        for consumers that would otherwise re-run preprocess on the hot
+        sensor path (local map, obstacle layer)."""
+        if self._slam is not None:
+            return getattr(self._slam, "last_scan", None)
+        return None
+
     def global_map(self, resolution: float = 0.05) -> OccupancyGrid:
         if self._slam is None:
             raise RuntimeError("global map only available in mapping mode")
@@ -244,8 +253,17 @@ class SlamV1:
 
     def _emit_local_map(self, pose: np.ndarray) -> None:
         """Egocentric occupancy patch around the robot (cbLocalMap — the
-        robot app's obstacle-avoidance input, MapService semantics)."""
+        robot app's obstacle-avoidance input, MapService semantics).
+        O(1) per scan: a window of the live incremental grid, never a
+        map rebuild (the round-1 O(T)-per-scan rebuild is gone)."""
         if self.callbacks.on_local_map is None or self._slam is None:
+            return
+        if getattr(self._slam, "_imap", None) is not None:
+            half_cells = max(
+                int(self.local_map_radius / self._slam.map_resolution), 1
+            )
+            win, _ = self._slam.local_map(pose, half_cells)
+            self.callbacks.on_local_map(np.asarray(jax.nn.sigmoid(win)))
             return
         grid = self._slam.render_map(0.1)
         spec = grid.spec

@@ -47,6 +47,9 @@ class OnlineSlam:
     optimize_every: int = 10            # anchors between backend rounds
     on_pose: Callable | None = None     # cbDataFusionResult analog
     use_fusion: bool = False
+    incremental_map: bool = True        # live MapService grid (O(1)/scan)
+    map_resolution: float = 0.1
+    map_half_size: float = 60.0
 
     def __post_init__(self):
         self._carry: _OdoCarry | None = None
@@ -61,12 +64,24 @@ class OnlineSlam:
         self._weak: list[bool] = []
         self._t = 0
         self._fusion = ukf.init(jnp.zeros(3), 0.01) if self.use_fusion else None
+        self._imap = None
+        if self.incremental_map:
+            from ..mapping.incremental import IncrementalMapper
+
+            self._imap = IncrementalMapper(
+                self.model,
+                resolution=self.map_resolution,
+                half_size=self.map_half_size,
+            )
 
     # -- sensor inputs (receMainSickSLAM / receODO / receBN analogs) ----
 
     def feed_scan(self, ranges) -> np.ndarray:
         """Process one scan; returns the current global pose [3]."""
         scan = preprocess(jnp.asarray(ranges), self.model)
+        # Cache the preprocessed scan so downstream consumers (local map,
+        # obstacle layer) reuse it instead of re-running preprocess.
+        self.last_scan = scan
         if self._carry is None:
             zero = jnp.zeros(3, jnp.float32)
             self._carry = _OdoCarry(
@@ -77,6 +92,8 @@ class OnlineSlam:
             self._weak.append(False)
             self._maybe_anchor(scan, 0)
             self._t = 1
+            if self._imap is not None:
+                self._imap.add(scan, self._poses[-1])
             return self._poses[-1]
 
         self._carry, (pose, switched, discarded, weak) = self._step_fn(
@@ -87,12 +104,14 @@ class OnlineSlam:
         self._weak.append(bool(weak))
         self._maybe_anchor(scan, self._t)
         self._t += 1
+        if self._imap is not None:
+            self._imap.add(scan, pose_np)
 
         if self.use_fusion:
             rel = se2.relative(
                 jnp.asarray(self._poses[-2]), jnp.asarray(pose_np)
             )
-            self._fusion = ukf.fusion_step(
+            self._fusion, self._fusion_t = ukf.fusion_step(
                 self._fusion,
                 ukf.FusionInputs(
                     odom_rel=rel,
@@ -101,7 +120,9 @@ class OnlineSlam:
                     slam_valid=jnp.asarray(True),
                     beacon_xy=jnp.zeros(2),
                     beacon_valid=jnp.asarray(False),
+                    slam_t=jnp.asarray(float(self._t)),
                 ),
+                filter_t=getattr(self, "_fusion_t", -jnp.inf),
             )
         if self.on_pose is not None:
             self.on_pose(pose_np)
@@ -130,12 +151,25 @@ class OnlineSlam:
             empty_grid, integrate_scans, spec_for_trajectory,
         )
 
+        # The live incremental grid is already up to date — no rebuild.
+        if self._imap is not None and resolution == self.map_resolution:
+            return self._imap.grid
+
         traj = self.trajectory
         spec = spec_for_trajectory(traj, self.model.max_range, resolution)
         scans = jax.tree.map(lambda *xs: jnp.stack(xs), *self._all_scans)
         return integrate_scans(
             empty_grid(spec), self.model, scans, jnp.asarray(traj)
         )
+
+    def local_map(self, pose=None, half_cells: int = 64):
+        """Egocentric window of the live grid (AmbientGridMap role);
+        O(1) — a dynamic_slice, never a rebuild."""
+        if self._imap is None:
+            raise RuntimeError("incremental_map is disabled")
+        if pose is None:
+            pose = self.pose
+        return self._imap.local_crop(pose, half_cells)
 
     # -- checkpoint / resume ---------------------------------------------
     # The reference has no checkpointing (persistence = final logs only);
@@ -253,6 +287,10 @@ class OnlineSlam:
         rel = se2.relative(old[seg * stride], old)
         rebased = np.asarray(se2.compose(jnp.asarray(new_anchor_poses)[seg], rel))
         self._poses = [rebased[t] for t in range(rebased.shape[0])]
+        # Rebuild the live map only when the optimization actually moved
+        # poses (bigChange gate) — per-scan map cost stays O(1).
+        if self._imap is not None and self._imap.needs_rebase(rebased):
+            self._imap.rebase(rebased)
         # Rebase the live frontend carry.
         if self._carry is not None:
             self._carry = self._carry._replace(

@@ -26,9 +26,11 @@ import jax.numpy as jnp
 from ..core import se2
 from ..core.scan import LaserModel, Scan
 from ..graph.loop_closure import (
+    VerifiedLoops,
     consistency_prune,
     drift_radius_matrix,
     gate_matrix,
+    pcm_prune,
     select_candidates,
     submap_bboxes,
     verify_loops,
@@ -40,6 +42,7 @@ from ..graph.submap import (
     build_submaps,
     submap_bboxes as merged_bboxes,
     verify_loops_submap,
+    wide_clouds,
 )
 from ..graph.solve import PoseGraph, optimize, optimize_with_init
 from ..ops.odometry import odometry_keyframe
@@ -57,7 +60,9 @@ INFO_WEAK = 0.5    # sequential edges spanning a weak/low-overlap step
 class SlamConfig:
     anchor_stride: int = 10        # g_session_size (MapGraph.cpp:725)
     max_loops: int = 512           # loop-candidate batch capacity
-    rounds: int = 3                # gate→verify→optimize repetitions
+    rounds: int = 6                # gate→verify→optimize repetitions
+    #                                (each verifies a fresh candidate
+    #                                slice; accepted loops accumulate)
     loop_radius: float = 2.0       # isLoopyArea constant-cov radius [m]
     gn_iters: int = 20
     use_submaps: bool = False      # verify loops submap-vs-submap (MapNode
@@ -65,16 +70,31 @@ class SlamConfig:
     submap_points: int = 768       # fixed point budget per submap
     # Correlative loop closing (init-free; the default pipeline).
     use_correlative: bool = True
-    drift_rate: float = 0.10       # [m / anchor step] gate-radius growth
+    drift_rate: float = 0.15       # [m / anchor step] gate-radius growth
+    #                                (measured p95 odometry drift on
+    #                                intel-lab ≈ 0.2 m/anchor-step)
     drift_anneal: float = 0.35     # per-round decay of drift_rate
-    radius_max: float = 6.0        # [m] clip of the gate radius
-    per_dst: int = 8               # candidate budget per later anchor
+    radius_max: float = 25.0       # [m] clip of the gate radius — must
+    #                                admit full-drift revisits; precision
+    #                                comes from verification, not gating
+    per_dst: int = 12              # candidate budget per later anchor
     search_xy: float = 5.0         # [m] identity-centered verify window
     n_theta: int = 72              # rotation samples over ±π
     coarse_res: float = 0.3        # [m] correlative grid cell
-    verify_chunk: int = 64         # candidates per memory chunk
+    verify_chunk: int = 32         # candidates per memory chunk
     sig_per_dst: int = 6           # signature-gate candidates per anchor
-    min_quality: float = 0.35      # ICP goodness floor on loops
+    min_quality: float = 0.7       # ICP goodness floor on loops —
+    #                                measured 99% edge precision; the
+    #                                solve needs few-and-right edges
+    #                                (loosening to 0.6 floods the bank
+    #                                with mild-wrong loops and WORSENS
+    #                                ATE despite higher recall)
+    wing: int = 4                  # ± submaps in the wide reference cloud
+    wide_points: int = 1536        # point budget of a wide cloud
+    n_peaks: int = 4               # polished correlative peaks per pair
+    pcm_rate: float = 0.15         # [m/anchor-step] PCM drift tolerance
+    trim_residual_t: float = 1.0   # [m] post-solve loop-residual trim
+    trim_residual_r: float = 0.3   # [rad]
 
 
 class SlamResult(NamedTuple):
@@ -162,25 +182,29 @@ def _loop_round(
     return g_opt.poses, jnp.sum(keep), chi
 
 
-def _loop_round_correlative(
+def _propose_and_verify(
     cfg: SlamConfig,
     anchor_poses: Array,
-    rel_seq: Array,
     rate: Array,
-    seq_weight: Array,
     submaps: Submaps,
+    wide: tuple[Array, Array],
     sig_gate: Array,
+    tried: Array,
 ):
-    """One init-free loop round: drift-aware pose gate ∪ appearance gate
-    → identity-centered correlative verification → consistency prune →
-    robust solve with linear (LAGO) initialization.
+    """One proposal+verification wave: drift-aware pose gate ∪ appearance
+    gate, minus already-tried pairs → identity-centered correlative
+    verification. Returns the verified loops and the pair mask to add to
+    ``tried``.
 
-    The round is the TPU form of the reference's addMapNodeCov loop
-    search (MapGraph.cpp:1272-1484) with its two blind spots fixed:
-    candidates are proposed even where the odometry estimate is useless
-    (appearance gate), and verification needs no initial guess
-    (identity-centered exhaustive search), so drift-sized loops close
-    instead of being silently unreachable.
+    This is the TPU form of the reference's addMapNodeCov loop search
+    (MapGraph.cpp:1272-1484) with its two blind spots fixed: candidates
+    are proposed even where the odometry estimate is useless, and
+    verification needs no initial guess (identity-centered exhaustive
+    search), so drift-sized loops close instead of being silently
+    unreachable. Each wave gets a fresh slice of the candidate space —
+    the ``tried`` exclusion spends the fixed verification budget on new
+    pairs every round while accepted loops accumulate in the caller's
+    bank.
     """
     a = anchor_poses.shape[0]
     dtype = anchor_poses.dtype
@@ -192,7 +216,7 @@ def _loop_round_correlative(
     pose_gate = gate_matrix(
         centers, radius=rad, min_gap=5, overlap_min=None
     )
-    gate = pose_gate | sig_gate
+    gate = (pose_gate | sig_gate) & ~tried
     cand = select_candidates(
         gate, centers, cfg.max_loops, radius=rad, per_dst=cfg.per_dst
     )
@@ -208,33 +232,73 @@ def _loop_round_correlative(
         anchor_poses,
         cand,
         cand_radius=trust,
+        wide_pts=wide[0],
+        wide_ok=wide[1],
         search_xy=cfg.search_xy,
         search_theta=float(jnp.pi),
         n_theta=cfg.n_theta,
         coarse_res=cfg.coarse_res,
+        n_peaks=cfg.n_peaks,
         chunk=cfg.verify_chunk,
         quality_min=cfg.min_quality,
         identity_init=True,
     )
-    keep = consistency_prune(loops, anchor_poses)
+    tried_new = tried.at[cand.src, cand.dst].set(
+        tried[cand.src, cand.dst] | cand.valid
+    )
+    return loops, tried_new
+
+
+def _solve_with_bank(
+    cfg: SlamConfig,
+    anchor_poses: Array,
+    odo_anchor_poses: Array,
+    rel_seq: Array,
+    seq_weight: Array,
+    bank_src: Array,
+    bank_dst: Array,
+    bank_rel: Array,
+    bank_quality: Array,
+    bank_active: Array,
+):
+    """Robust solve over the sequential chain + the accumulated loop
+    bank: PCM pruning (drift-scaled mutual consistency through the raw
+    odometry), LAGO linear initialization, LM with Huber/DCS kernels,
+    then one residual-trim + re-solve pass.
+
+    The trim pass is the decisive outlier control: with ~90%+ of bank
+    loops correct, the first solution is mostly right, so a grossly
+    false loop (a perceptually aliased match, typically 10-25 m wrong)
+    shows a huge residual under it and is simply deactivated before the
+    final solve. PCM alone cannot make this separation — under
+    drift-scaled thresholds an aliased cluster stays self-consistent —
+    and DCS only downweights, it cannot un-bend LAGO's linear stage."""
+    a = anchor_poses.shape[0]
+    dtype = anchor_poses.dtype
+    bank = VerifiedLoops(
+        src=bank_src, dst=bank_dst, rel=bank_rel, quality=bank_quality,
+        accept=bank_active,
+    )
+    keep = pcm_prune(bank, odo_anchor_poses, rate_t=cfg.pcm_rate)
 
     seq_i = jnp.arange(a - 1, dtype=jnp.int32)
     eye = jnp.eye(3, dtype=dtype)
-    i_all = jnp.concatenate([seq_i, loops.src.astype(jnp.int32)])
-    j_all = jnp.concatenate([seq_i + 1, loops.dst.astype(jnp.int32)])
-    meas = jnp.concatenate([rel_seq, loops.rel], axis=0)
+    i_all = jnp.concatenate([seq_i, bank_src.astype(jnp.int32)])
+    j_all = jnp.concatenate([seq_i + 1, bank_dst.astype(jnp.int32)])
+    meas = jnp.concatenate([rel_seq, bank_rel], axis=0)
     info = jnp.concatenate(
         [
             jnp.tile(eye[None] * INFO_ADJ, (a - 1, 1, 1))
             * seq_weight[:, None, None],
-            jnp.tile(eye[None] * INFO_LOOP, (cfg.max_loops, 1, 1))
-            * jnp.clip(loops.quality, 0.0, 1.0)[:, None, None],
+            jnp.tile(eye[None] * INFO_LOOP, (bank_src.shape[0], 1, 1))
+            * jnp.clip(bank_quality, 0.0, 1.0)[:, None, None],
         ],
         axis=0,
     )
     active = jnp.concatenate([jnp.ones(a - 1, bool), keep])
     kernel = jnp.concatenate(
-        [jnp.zeros(a - 1, jnp.int32), jnp.ones(cfg.max_loops, jnp.int32)]
+        [jnp.zeros(a - 1, jnp.int32),
+         jnp.ones(bank_src.shape[0], jnp.int32)]
     )
     g = PoseGraph(
         poses=anchor_poses,
@@ -247,7 +311,19 @@ def _loop_round_correlative(
         kernel=kernel,
     )
     g_opt, chi = optimize_with_init(g, cfg.gn_iters)
-    return g_opt.poses, jnp.sum(keep), chi
+
+    # Residual trim: deactivate loop edges whose measurement disagrees
+    # with the first solution, then re-solve from it.
+    pred = se2.relative(g_opt.poses[bank_src], g_opt.poses[bank_dst])
+    d = se2.relative(bank_rel, pred)
+    bad = (jnp.linalg.norm(d[:, :2], axis=-1) > cfg.trim_residual_t) | (
+        jnp.abs(se2.normalize_angle(d[:, 2])) > cfg.trim_residual_r
+    )
+    keep2 = keep & ~bad
+    active2 = jnp.concatenate([jnp.ones(a - 1, bool), keep2])
+    g2 = g_opt._replace(e_active=active2)
+    g_opt2, chi2_ = optimize(g2, cfg.gn_iters)
+    return g_opt2.poses, jnp.sum(keep2), chi2_
 
 
 def slam_offline(
@@ -280,25 +356,73 @@ def slam_offline(
     chi = jnp.asarray(0.0, ranges.dtype)
 
     if cfg.use_correlative:
+        import numpy as np
+
         sig_gate = jax.jit(
             lambda p, v: signature_gate(
                 submap_signatures(p, v), min_gap=5, per_dst=cfg.sig_per_dst
             )
         )(submaps.points, submaps.valid)
-        round_fn = jax.jit(
-            lambda a_poses, rels, rate, w, sm, sg: _loop_round_correlative(
-                cfg, a_poses, rels, rate, w, sm, sg
+        odo_anchor_poses = anchor_poses
+        wide = jax.jit(
+            lambda sm, op: wide_clouds(
+                sm, op, wing=cfg.wing, max_points=cfg.wide_points
+            )
+        )(submaps, odo_anchor_poses)
+        verify_fn = jax.jit(
+            lambda ap, rate, sm, wd, sg, tr: _propose_and_verify(
+                cfg, ap, rate, sm, wd, sg, tr
             )
         )
+        solve_fn = jax.jit(
+            lambda ap, op, rels, w, bs, bd, br, bq, ba: _solve_with_bank(
+                cfg, ap, op, rels, w, bs, bd, br, bq, ba
+            )
+        )
+        a = int(anchor_poses.shape[0])
+        tried = jnp.zeros((a, a), bool)
+        cap = cfg.max_loops
+        bank = {
+            "src": np.zeros(cap, np.int32),
+            "dst": np.zeros(cap, np.int32),
+            "rel": np.zeros((cap, 3), np.float32),
+            "q": np.zeros(cap, np.float32),
+            "act": np.zeros(cap, bool),
+        }
         for r in range(cfg.rounds):
             # The drift-rate anneals: once a solve has absorbed the
             # loops found so far, pose distances are trustworthy at
             # tighter radii and the budget shifts to nearby pairs.
+            # Already-verified pairs are excluded, so every round spends
+            # its full budget on a new slice of the candidate space;
+            # accepted loops persist in the bank across rounds.
             rate = jnp.asarray(
                 cfg.drift_rate * (cfg.drift_anneal**r), ranges.dtype
             )
-            anchor_poses, n_loops, chi = round_fn(
-                anchor_poses, rel_seq, rate, seq_weight, submaps, sig_gate
+            loops, tried = verify_fn(
+                anchor_poses, rate, submaps, wide, sig_gate, tried
+            )
+            acc = np.asarray(loops.accept)
+            src = np.concatenate([bank["src"][bank["act"]],
+                                  np.asarray(loops.src)[acc]])
+            dst = np.concatenate([bank["dst"][bank["act"]],
+                                  np.asarray(loops.dst)[acc]])
+            rel = np.concatenate([bank["rel"][bank["act"]],
+                                  np.asarray(loops.rel)[acc]])
+            q = np.concatenate([bank["q"][bank["act"]],
+                                np.asarray(loops.quality)[acc]])
+            order = np.argsort(-q)[:cap]
+            n = len(order)
+            for key, val in (("src", src), ("dst", dst), ("rel", rel),
+                             ("q", q)):
+                bank[key][:n] = val[order]
+            bank["act"][:] = False
+            bank["act"][:n] = True
+            anchor_poses, n_loops, chi = solve_fn(
+                anchor_poses, odo_anchor_poses, rel_seq, seq_weight,
+                jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
+                jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),
+                jnp.asarray(bank["act"]),
             )
     else:
         round_fn = jax.jit(

@@ -37,6 +37,9 @@ from ..ops.preprocess import preprocess
 from ..runtime.slam import SlamConfig, _loop_round, INFO_ADJ, INFO_WEAK
 
 
+WEAK_STEP_VAR = 1.0  # [m²] variance stamped on weak/deep-fallback steps
+
+
 class Frontend:
     """Client side: local odometry + scan streaming + pose rebase."""
 
@@ -60,16 +63,27 @@ class Frontend:
 
     def feed_scan(self, ranges, stamp: float = 0.0) -> np.ndarray:
         scan = preprocess(jnp.asarray(ranges, jnp.float32), self.model)
+        weak = False
         if self._carry is None:
             zero = jnp.zeros(3, jnp.float32)
             self._carry = _OdoCarry(scan, scan, zero, zero, zero)
             pose = np.zeros(3, np.float32)
         else:
-            self._carry, (p, _, _, _) = self._step_fn(self._carry, scan)
+            self._carry, (p, _, _, w) = self._step_fn(self._carry, scan)
             pose = np.asarray(p)
+            weak = bool(w)
         self._apply_updates()
         self.poses.append(pose)
-        self.sock.send_scan(np.asarray(ranges, np.float32), pose=pose, stamp=stamp)
+        # Ship the step confidence in the frame's covariance slot (the
+        # reference's clientFrontend streams cov[6] the same way,
+        # clientFrontend.h:47-53): a weak/deep-fallback step gets a
+        # large variance so the backend downweights the sequential edge
+        # spanning it instead of trusting it at full strength.
+        var = WEAK_STEP_VAR if weak else 0.0
+        cov = np.asarray([var, var, var, 0.0, 0.0, 0.0], np.float32)
+        self.sock.send_scan(
+            np.asarray(ranges, np.float32), pose=pose, cov=cov, stamp=stamp
+        )
         return pose
 
     def _apply_updates(self):
@@ -122,14 +136,19 @@ class Backend:
         anchor_scans, anchor_ids = [], []
         t = 0
         stride = self.cfg.anchor_stride
+        self._weak: list[bool] = []
         while max_scans is None or t < max_scans:
             frame = self.conn.recv()
             if frame is None or frame[0] != "scan":
                 break
-            _, ranges, pose, _, _ = frame
+            _, ranges, pose, cov, _ = frame
             scan = preprocess(jnp.asarray(ranges), self.model)
             scans.append(scan)
             poses.append(np.asarray(pose))
+            # Weak-step flag rides the frame covariance (Frontend side).
+            self._weak.append(
+                cov is not None and float(np.asarray(cov).reshape(-1)[0]) > 0.5
+            )
             if t % stride == 0:
                 anchor_scans.append(scan)
                 anchor_ids.append(t)
@@ -146,7 +165,18 @@ class Backend:
         batch = jax.tree.map(lambda *x: jnp.stack(x), *anchor_scans)
         anchor_poses = jnp.asarray(np.stack([poses[i] for i in anchor_ids]))
         rel_seq = se2.relative(anchor_poses[:-1], anchor_poses[1:])
-        seq_w = jnp.ones(a - 1, jnp.float32)
+        # Downweight anchor intervals containing a weak odometry step —
+        # same corridor-grade information the offline pipeline applies
+        # (slam.py _frontend; MapGraph.cpp:250-261). Round 1 quietly
+        # dropped this on the distributed path.
+        weak_edge = np.zeros(a - 1, bool)
+        for e in range(a - 1):
+            lo = anchor_ids[e] + 1
+            hi = min(anchor_ids[e + 1] + 1, len(self._weak))
+            weak_edge[e] = any(self._weak[lo:hi])
+        seq_w = jnp.where(
+            jnp.asarray(weak_edge), INFO_WEAK / INFO_ADJ, 1.0
+        ).astype(jnp.float32)
         new_poses, n_loops, _ = self._round_fn(
             batch, anchor_poses, rel_seq,
             jnp.asarray(self.cfg.loop_radius, jnp.float32), seq_w,

@@ -71,7 +71,34 @@ def test_fusion_step_tracks_trajectory():
             beacon_xy=true[:2],
             beacon_valid=jnp.asarray(k % 5 == 0),
         )
-        s = jax.jit(ukf.fusion_step)(s, inp)
+        s, _ = jax.jit(ukf.fusion_step)(s, inp)
     err = np.asarray(s.mean - true)
     assert np.linalg.norm(err[:2]) < 0.1
     assert abs(float(se2.normalize_angle(jnp.asarray(err[2])))) < 0.05
+
+
+def test_fusion_step_timestamp_gating():
+    # A stale SLAM observation (timestamp not newer than the filter
+    # time) must be skipped — the reference's t_filter_current gate
+    # (threadFusion.cpp:225-300).
+    s0 = ukf.init(jnp.zeros(3), 0.01)
+    inp = ukf.FusionInputs(
+        odom_rel=jnp.zeros(3),
+        odom_valid=jnp.asarray(False),
+        slam_pose=jnp.asarray([5.0, 0.0, 0.0]),
+        slam_valid=jnp.asarray(True),
+        beacon_xy=jnp.zeros(2),
+        beacon_valid=jnp.asarray(False),
+        slam_t=jnp.asarray(10.0),
+    )
+    fresh, t1 = ukf.fusion_step(s0, inp, filter_t=5.0)
+    assert float(t1) == 10.0
+    assert float(fresh.mean[0]) > 1.0        # observation applied
+    stale, t2 = ukf.fusion_step(s0, inp, filter_t=10.0)
+    assert float(t2) == 10.0                 # time does not advance
+    assert abs(float(stale.mean[0])) < 0.2   # observation skipped
+    # default (unstamped) inputs stay always-fresh
+    inp0 = inp._replace(slam_t=jnp.inf)
+    always, t3 = ukf.fusion_step(s0, inp0, filter_t=10.0)
+    assert float(always.mean[0]) > 1.0
+    assert float(t3) == 10.0                 # inf never becomes the clock

@@ -137,3 +137,66 @@ def test_inactive_slots_ignored():
     out = np.asarray(g_opt.poses)
     assert np.allclose(out[1], [1.1, 0, 0], atol=1e-3)
     assert np.allclose(out[2:], 777.0)  # untouched
+
+
+def test_cg_matches_dense_solver():
+    # CG and dense Cholesky must agree on a modest noisy chain + loop.
+    from laser_slam_tpu.graph.solve import _cg_solve_normal, _solve_normal
+
+    rng = np.random.default_rng(3)
+    n = 40
+    gt = np.stack(
+        [np.linspace(0, 10, n), np.sin(np.linspace(0, 3, n)),
+         np.zeros(n)], axis=1
+    ).astype(np.float32)
+    edges = [(k, k + 1) for k in range(n - 1)] + [(0, n - 1)]
+    meas = [
+        np.asarray(se2.relative(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+        + rng.normal(0, 0.01, 3).astype(np.float32)
+        for a, b in edges
+    ]
+    init = gt + rng.normal(0, 0.3, gt.shape).astype(np.float32)
+    init[0] = gt[0]
+    g = build_graph(init, edges, meas)
+    lam = jnp.asarray(1e-3, jnp.float32)
+    dx_chol, _ = _solve_normal(g, lam)
+    dx_cg, _ = _cg_solve_normal(g, lam, cg_iters=300, tol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(dx_cg), np.asarray(dx_chol), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_cg_large_chain_2k_vertices():
+    # The large-V path the dense factor can't afford: a 2000-vertex
+    # noisy chain with loop edges every 200 vertices; optimize() must
+    # auto-select CG and reduce the error.
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = np.linspace(0, 4 * np.pi, n)
+    gt = np.stack(
+        [10 * np.cos(t), 10 * np.sin(t), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    edges = [(k, k + 1) for k in range(n - 1)]
+    meas = [
+        np.asarray(se2.relative(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+        + rng.normal(0, 0.005, 3).astype(np.float32)
+        for a, b in edges
+    ]
+    init = [gt[0]]
+    for m in meas:
+        init.append(np.asarray(se2.compose(jnp.asarray(init[-1]), jnp.asarray(m))))
+    init = np.asarray(init, np.float32)
+    # exact loop closures between the two laps
+    half = n // 2
+    for k in range(50, half, 100):
+        edges.append((k, k + half))
+        meas.append(
+            np.asarray(se2.relative(jnp.asarray(gt[k]), jnp.asarray(gt[k + half])))
+        )
+    g = build_graph(init, edges, meas)
+    g_opt, _ = optimize(g, 25)  # auto → CG at V=2000
+    err_before = np.linalg.norm(init[:, :2] - gt[:, :2], axis=1).mean()
+    err_after = np.linalg.norm(
+        np.asarray(g_opt.poses)[:, :2] - gt[:, :2], axis=1
+    ).mean()
+    assert err_after < err_before * 0.5
