@@ -86,6 +86,12 @@ def main():
     rate = b / dt
     log_err(f"per-run times: {[round(t, 3) for t in times]} -> {rate:.1f} matches/s")
 
+    extras = {"psm_compile_first_s": round(t_first, 1), "psm_fails": fails}
+    try:
+        extras.update(bench_secondary(model, scans, rng))
+    except Exception as e:  # pragma: no cover - secondary metrics optional
+        log_err("secondary bench failed:", repr(e))
+
     print(
         json.dumps(
             {
@@ -93,9 +99,85 @@ def main():
                 "value": round(rate, 1),
                 "unit": "matches/s",
                 "vs_baseline": round(rate / REFERENCE_PSM_MATCHES_PER_SEC, 2),
+                "extras": extras,
             }
         )
     )
+
+
+def bench_secondary(model, scans, rng):
+    """Loop-verification and map-update rates at real SLAM shapes
+    (BASELINE.md names ICP correspondence + map updates, not just PSM).
+    Written to the JSON 'extras' and stderr; failures don't affect the
+    headline metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from laser_slam_tpu.graph.loop_closure import (
+        LoopCandidates,
+        verify_loops_correlative,
+    )
+    from laser_slam_tpu.graph.submap import build_submaps, wide_clouds
+    from laser_slam_tpu.mapping.occupancy import (
+        empty_grid,
+        integrate_scans,
+        spec_for_trajectory,
+    )
+
+    out = {}
+    t_scans = 1280
+    sub = jax.tree.map(lambda x: x[:t_scans], scans)
+    zeros = jnp.zeros((t_scans, 3), jnp.float32)
+
+    # --- loop verification batch (the backend's hot path) ---
+    sm = jax.jit(lambda s, p: build_submaps(model, s, p, 10, 768))(sub, zeros)
+    a = sm.points.shape[0]
+    ap = jnp.zeros((a, 3), jnp.float32)
+    wp, wo = jax.jit(lambda s, o: wide_clouds(s, o))(sm, ap)
+    c = 256
+    idx = np.arange(c)
+    cand = LoopCandidates(
+        src=jnp.asarray(idx % (a // 2), jnp.int32),
+        dst=jnp.asarray(idx % (a // 2) + a // 2, jnp.int32),
+        valid=jnp.ones(c, bool),
+    )
+    vfn = jax.jit(
+        lambda s, p, cd, w0, w1: verify_loops_correlative(
+            s, p, cd, wide_pts=w0, wide_ok=w1, identity_init=True
+        )
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(vfn(sm, ap, cand, wp, wo).accept)
+    t_compile = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        cand = cand._replace(
+            src=(cand.src + 1) % (a // 2)  # perturb (axon memoization)
+        )
+        t0 = time.perf_counter()
+        jax.block_until_ready(vfn(sm, ap, cand, wp, wo).accept)
+        ts.append(time.perf_counter() - t0)
+    out["verify_pairs_per_sec"] = round(c / float(np.median(ts)), 1)
+    out["verify_compile_s"] = round(t_compile, 1)
+    log_err(f"loop verification: {out['verify_pairs_per_sec']} pairs/s "
+            f"(compile {t_compile:.1f}s)")
+
+    # --- occupancy map update ---
+    spec = spec_for_trajectory(np.zeros((2, 3)), model.max_range, 0.05)
+    mfn = jax.jit(lambda g, s, p: integrate_scans(g, model, s, p))
+    g0 = empty_grid(spec)
+    jax.block_until_ready(mfn(g0, sub, zeros).log_odds)
+    ts = []
+    for k in range(3):
+        z = zeros + jnp.float32(1e-4 * (k + 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(mfn(g0, sub, z).log_odds)
+        ts.append(time.perf_counter() - t0)
+    out["map_update_scans_per_sec"] = round(
+        t_scans / float(np.median(ts)), 1
+    )
+    log_err(f"map update: {out['map_update_scans_per_sec']} scans/s")
+    return out
 
 
 if __name__ == "__main__":

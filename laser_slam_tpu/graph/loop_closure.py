@@ -54,7 +54,10 @@ class VerifiedLoops(NamedTuple):
     dst: Array
     rel: Array       # [C, 3] measured relative pose src→dst
     quality: Array   # [C] matched-beam fraction
-    accept: Array    # [C] bool
+    accept: Array    # [C] bool — strict tier (solve-grade edges)
+    tentative: Array | None = None  # [C] bool — loose tier: correct-
+    #   looking matches below the strict gates; only usable after a
+    #   residual-under-solution promotion check (see _solve_with_bank)
     diag: dict | None = None  # optional per-gate masks (tuning/tests)
 
 
@@ -156,6 +159,7 @@ def select_candidates(
     max_pairs: int,
     radius: Array | None = None,
     per_dst: int = 0,
+    boost: Array | None = None,
 ) -> LoopCandidates:
     """Pick up to ``max_pairs`` gated pairs, fixed shape.
 
@@ -174,6 +178,12 @@ def select_candidates(
         norm = jnp.sqrt(d2) / jnp.maximum(radius, 1e-6)
     else:
         norm = d2
+    if boost is not None:
+        # Coverage-aware priority: callers add a bonus for pairs that
+        # would constrain so-far-unconstrained trajectory regions, so
+        # the fixed verification budget binds every segment instead of
+        # re-polishing well-covered ones.
+        norm = norm - boost
     score = jnp.where(gate, -norm, -jnp.inf)
 
     if per_dst > 0:
@@ -499,17 +509,41 @@ def verify_loops_correlative(
     accept = cand.valid
     for m in gates.values():
         accept = accept & m
-    rel = jnp.where(accept[:, None], jnp.nan_to_num(fwd.pose), 0.0)
+
+    # Loose tier: matches that *look* correct (sharp coarse peak, tight
+    # residual) but miss the strict goodness/reciprocity bar — typical
+    # for genuinely low-overlap revisits (opposite-direction passes,
+    # long gaps). Measured on intel-lab GT: loose-tier wrong matches are
+    # 5-25 m off while correct ones are centimeters, so a residual
+    # check against the current solution separates them exactly; they
+    # must NOT enter the solve before that promotion.
+    cyc_t = jnp.linalg.norm(cycle[:, :2], axis=-1)
+    cyc_r = jnp.abs(se2.normalize_angle(cycle[:, 2]))
+    tentative = (
+        cand.valid
+        & ~accept
+        & ~fwd.fail
+        & near_peak
+        & in_gate
+        & (peak_score >= 0.6)
+        & (fwd.goodness >= 0.35)
+        & (fwd.err < 0.04)
+        & (cyc_t < 0.3)
+        & (cyc_r < 0.1)
+    )
+    rel = jnp.where(
+        (accept | tentative)[:, None], jnp.nan_to_num(fwd.pose), 0.0
+    )
     quality = jnp.nan_to_num(fwd.goodness)
     gates["coarse_score"] = peak_score
     gates["goodness"] = fwd.goodness
     gates["err"] = fwd.err
-    gates["cycle_t"] = jnp.linalg.norm(cycle[:, :2], axis=-1)
-    gates["cycle_r"] = jnp.abs(se2.normalize_angle(cycle[:, 2]))
+    gates["cycle_t"] = cyc_t
+    gates["cycle_r"] = cyc_r
     gates["pose"] = fwd.pose
     return VerifiedLoops(
         src=cand.src, dst=cand.dst, rel=rel, quality=quality, accept=accept,
-        diag=gates,
+        tentative=tentative, diag=gates,
     )
 
 
