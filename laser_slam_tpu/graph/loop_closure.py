@@ -286,29 +286,37 @@ def consistency_prune(loops: VerifiedLoops, anchor_poses: Array) -> Array:
 def pcm_prune(
     loops: VerifiedLoops,
     odo_anchor_poses: Array,
-    base_t: float = 1.0,
-    rate_t: float = 0.05,
-    base_r: float = 0.3,
-    rate_r: float = 0.012,
+    base_t: float = 0.3,
+    rate_t: float = 0.25,
+    cap_t: float = 2.0,
+    base_r: float = 0.15,
+    rate_r: float = 0.03,
+    cap_r: float = 0.4,
+    votes_min: int = 3,
 ) -> Array:
     """Pairwise-consistent-measurement pruning (PCM, Mangelson et al.)
-    with drift-scaled gates — keeps the largest mutually consistent loop
-    set and kills perceptually aliased clusters.
+    with drift-scaled, capped gates and an absolute vote quorum.
 
-    Correction-vector voting (:func:`consistency_prune`) fails exactly
-    where it matters: an aliased corridor produces several *mutually
-    agreeing* false loops that vote for each other. Here two loops
-    ``a=(i_a→j_a)``, ``b=(i_b→j_b)`` are checked through the odometry
-    cycle ``L_b ≈ odo(i_b→i_a) ⊕ L_a ⊕ odo(j_a→j_b)``; the acceptance
-    threshold grows with the odometry path length of the connecting
-    segments (drift model), so distant true loops still pass while a
-    false cluster — consistent internally but wrong against every true
-    loop through odometry — loses the vote. The kept set is the
-    neighborhood of the most-supported loop (greedy max-clique seed),
-    which for true loops is global: all true loops are mutually
-    consistent via short odometry cycles. This covers the role of the
-    reference's deleteMisMatch + validVerify neighbor consensus
-    (MapGraph.cpp:169-223, 1932-1958) with an explicit noise model.
+    Two loops ``a=(i_a→j_a)``, ``b=(i_b→j_b)`` are checked through the
+    odometry cycle ``L_b ≈ odo(i_b→i_a) ⊕ L_a ⊕ odo(j_a→j_b)``; the
+    acceptance threshold grows with the square root of the connecting
+    odometry path length (random-walk drift model) and is **capped**: an
+    uncapped linear model reaches tens of meters at long gaps and
+    rendered the check vacuous (measured on intel-lab: a 23 m-wrong loop
+    passed). A loop survives with ``votes_min`` supporters (its own
+    cluster — each real revisit produces several mutually consistent
+    loops), so isolated gross outliers die while distant true clusters
+    — which can NEVER validate each other through drift-sized odometry
+    cycles, so no seed/max-clique structure exists to find — keep
+    themselves alive (measured: 327/329 correct kept, the 23 m outlier
+    and 2 others killed; seed-neighborhood variants kept only 157/329).
+    This covers the role of the reference's deleteMisMatch + validVerify
+    neighbor consensus (MapGraph.cpp:169-223, 1932-1958) with an
+    explicit noise model.
+
+    A solitary verified loop still survives (``votes ≥ min(n_acc,
+    votes_min)``, ADVICE r2): the strict verification gates and the
+    post-solve residual trim remain the lone-false-positive guards.
 
     ``odo_anchor_poses`` must be the *raw odometry* anchor chain (the
     actual measurements), not the current optimized estimates.
@@ -334,14 +342,15 @@ def pcm_prune(
 
     gap_i = jnp.abs(src[:, None] - src[None, :]).astype(et.dtype)
     gap_j = jnp.abs(dst[:, None] - dst[None, :]).astype(et.dtype)
-    thr_t = base_t + rate_t * (gap_i + gap_j)
-    thr_r = base_r + rate_r * (gap_i + gap_j)
+    g = jnp.sqrt(gap_i + gap_j)
+    thr_t = jnp.minimum(base_t + rate_t * g, cap_t)
+    thr_r = jnp.minimum(base_r + rate_r * g, cap_r)
 
     ok = loops.accept
     consistent = (et <= thr_t) & (er <= thr_r) & ok[:, None] & ok[None, :]
     votes = jnp.sum(consistent, axis=1)
-    seed = jnp.argmax(votes)
-    keep = ok & consistent[seed] & (votes >= 2)
+    n_acc = jnp.sum(ok)
+    keep = ok & (votes >= jnp.minimum(n_acc, votes_min))
     # Degenerate case: nothing accepted → keep stays all-false.
     return keep
 
@@ -380,6 +389,8 @@ def verify_loops_correlative(
     err_max: float = 0.05,
     cycle_t_max: float = 0.15,
     cycle_r_max: float = 0.06,
+    strong_goodness: float = 0.85,
+    strong_err: float = 0.03,
     identity_init: bool = False,
 ) -> VerifiedLoops:
     """Init-free loop verification: exhaustive coarse correlative search
@@ -509,6 +520,23 @@ def verify_loops_correlative(
     accept = cand.valid
     for m in gates.values():
         accept = accept & m
+    # Strong-accept bypass of the reciprocal gate: the backward leg
+    # occasionally diverges off a *correct* alignment (measured on
+    # intel-lab GT: pairs at 2 cm true error with goodness 0.93 killed
+    # by a 1.5 m cycle). A forward match this sharp is beyond what
+    # perceptual aliasing produces (measured wrong-match goodness ≤
+    # 0.83), so it stands on its own; PCM + residual trim remain as
+    # backstops.
+    strong = (
+        cand.valid
+        & gates["coarse_ok"]
+        & gates["fwd_ok"]
+        & gates["near_peak"]
+        & gates["in_gate"]
+        & (fwd.goodness >= strong_goodness)
+        & (fwd.err < strong_err)
+    )
+    accept = accept | strong
 
     # Loose tier: matches that *look* correct (sharp coarse peak, tight
     # residual) but miss the strict goodness/reciprocity bar — typical

@@ -82,6 +82,22 @@ class IncrementalMapper:
             self._scans.append(scan)
             self._poses.append(np.asarray(pose, np.float32))
 
+    def covers(self, poses: np.ndarray, margin: float = 0.0) -> bool:
+        """True iff every pose lies inside the fixed arena — callers
+        should rebuild at full extent otherwise (beams beyond the arena
+        edge are clipped by design; a pose outside it means the map is
+        genuinely truncated)."""
+        if len(poses) == 0:
+            return True
+        spec = self.spec
+        xy = np.asarray(poses)[:, :2]
+        return bool(
+            (xy[:, 0] - margin >= spec.origin_x).all()
+            and (xy[:, 1] - margin >= spec.origin_y).all()
+            and (xy[:, 0] + margin <= spec.origin_x + spec.width * spec.resolution).all()
+            and (xy[:, 1] + margin <= spec.origin_y + spec.height * spec.resolution).all()
+        )
+
     # -- rebase on loop closure ---------------------------------------------
 
     def needs_rebase(self, new_poses: np.ndarray) -> bool:

@@ -149,6 +149,13 @@ class SlamV1:
         if self.callbacks.on_beacon_pose:
             self.callbacks.on_beacon_pose(self._beacon_pose)
 
+    def feed_gps(self, obs) -> None:
+        """GPS fix from :class:`..io.gps.GpsDriver` (the reference's GPS
+        path feeds CSlamV1 through the callback table and the UKF's GPS
+        observe, slam_v1.h:44-63 + config.hpp:180-197)."""
+        if self._slam is not None:
+            self._slam.feed_gps(obs)
+
     def feed_scan_main(self, ranges, timestamp: float = 0.0) -> np.ndarray | None:
         """Main laser frame: drives SLAM/localization *and* obstacle
         detection (cbMainSICKForSLAM + cbMainSICKForOD)."""

@@ -134,6 +134,31 @@ class OnlineSlam:
                 self._fusion, (0, 1), jnp.asarray(xy), 0.25
             )
 
+    def feed_gps(self, obs, r: float = 1.0) -> None:
+        """GPS position observe with timestamp gating.
+
+        ``obs`` is an :class:`..io.gps.GpsObservation` (ENU assumed
+        aligned with the SLAM frame at session start) or a bare
+        ``(east, north)`` pair. The reference feeds GPS into the UKF
+        through threadFusion's freshness-gated observes
+        (threadFusion.cpp:89-155, GPS model config.hpp:180-197); here a
+        stale or out-of-order fix (timestamp ≤ the last consumed one)
+        is skipped the same way.
+        """
+        if self._fusion is None:
+            return
+        t = None
+        if hasattr(obs, "east"):
+            xy = jnp.asarray([obs.east, obs.north], jnp.float32)
+            t = float(obs.t)
+        else:
+            xy = jnp.asarray(obs, jnp.float32)[:2]
+        if t is not None:
+            if t <= getattr(self, "_gps_t", -float("inf")):
+                return
+            self._gps_t = t
+        self._fusion = ukf.update_partial(self._fusion, (0, 1), xy, r)
+
     # -- state access ---------------------------------------------------
 
     @property
@@ -151,9 +176,14 @@ class OnlineSlam:
             empty_grid, integrate_scans, spec_for_trajectory,
         )
 
-        # The live incremental grid is already up to date — no rebuild.
+        # The live incremental grid is already up to date — no rebuild —
+        # but it has a fixed arena (center ± half_size, rebased past the
+        # bigChange gate); a trajectory that left the arena would render
+        # silently truncated, so fall back to a full-extent rebuild then
+        # (ADVICE r2).
         if self._imap is not None and resolution == self.map_resolution:
-            return self._imap.grid
+            if self._imap.covers(self.trajectory):
+                return self._imap.grid
 
         traj = self.trajectory
         spec = spec_for_trajectory(traj, self.model.max_range, resolution)

@@ -83,6 +83,15 @@ class SlamConfig:
     coarse_res: float = 0.3        # [m] correlative grid cell
     verify_chunk: int = 32         # candidates per memory chunk
     sig_per_dst: int = 6           # signature-gate candidates per anchor
+    radius_max_uncov: float = 60.0 # [m] gate-radius clip for pairs that
+    #                                would cover a zero-coverage anchor:
+    #                                uncovered spans never benefited from
+    #                                earlier solves, so their pose
+    #                                estimates still carry full drift and
+    #                                the annealed radius would never
+    #                                reach their true revisits (measured:
+    #                                anchors 10-41 of intel-lab stayed
+    #                                unconstrained through all rounds)
     min_quality: float = 0.7       # ICP goodness floor on loops —
     #                                measured 99% edge precision; the
     #                                solve needs few-and-right edges
@@ -92,7 +101,8 @@ class SlamConfig:
     wing: int = 4                  # ± submaps in the wide reference cloud
     wide_points: int = 1536        # point budget of a wide cloud
     n_peaks: int = 4               # polished correlative peaks per pair
-    pcm_rate: float = 0.15         # [m/anchor-step] PCM drift tolerance
+    pcm_rate: float = 0.25         # [m/√anchor-step] PCM drift tolerance
+    #                                (random-walk model; see pcm_prune)
     trim_residual_t: float = 1.0   # [m] post-solve loop-residual trim
     trim_residual_r: float = 0.3   # [rad]
     promote_residual_t: float = 0.7  # [m] tentative-loop promotion gate
@@ -217,12 +227,22 @@ def _propose_and_verify(
     rad = drift_radius_matrix(
         a, cfg.loop_radius, rate, cfg.radius_max, dtype
     )
+    # Escalation for uncovered anchors: their spans were never corrected
+    # by a solve, so their pose distances still carry the *full* initial
+    # odometry drift — gate them with the un-annealed rate and a wider
+    # clip, or their true revisits stay out of reach forever.
+    uncov = coverage == 0
+    pair_uncov = uncov[:, None] | uncov[None, :]
+    rate0 = jnp.asarray(cfg.drift_rate, dtype)
+    rad0 = drift_radius_matrix(
+        a, cfg.loop_radius, rate0, cfg.radius_max_uncov, dtype
+    )
+    rad = jnp.where(pair_uncov, jnp.maximum(rad, rad0), rad)
     pose_gate = gate_matrix(
         centers, radius=rad, min_gap=5, overlap_min=None
     )
     gate = (pose_gate | sig_gate) & ~tried
-    uncov = coverage == 0
-    boost = 0.5 * (uncov[:, None] | uncov[None, :]).astype(dtype)
+    boost = 0.5 * pair_uncov.astype(dtype)
     cand = select_candidates(
         gate, centers, cfg.max_loops, radius=rad, per_dst=cfg.per_dst,
         boost=boost,
@@ -230,9 +250,12 @@ def _propose_and_verify(
 
     # Trust radius for acceptance: the *unclipped* drift model — at
     # large gaps odometry carries no information and the geometric
-    # verification gates alone must decide.
+    # verification gates alone must decide. Pairs touching uncovered
+    # anchors keep the un-annealed rate here too.
     gap = jnp.abs(cand.dst - cand.src).astype(dtype)
-    trust = cfg.loop_radius + rate * gap
+    cand_uncov = uncov[cand.src] | uncov[cand.dst]
+    trust_rate = jnp.where(cand_uncov, rate0, rate)
+    trust = cfg.loop_radius + trust_rate * gap
 
     loops = verify_loops_correlative(
         submaps,
@@ -355,10 +378,127 @@ def _solve_with_bank(
     return g_opt2.poses, jnp.sum(keep2), chi2_
 
 
+def run_correlative_rounds(
+    cfg: SlamConfig,
+    submaps: Submaps,
+    anchor_poses: Array,
+    rel_seq: Array,
+    seq_weight: Array,
+    bank: dict | None = None,
+    tried: Array | None = None,
+    odo_anchor_poses: Array | None = None,
+):
+    """The init-free loop-closure backend: ``cfg.rounds`` waves of
+    propose→verify→bank→robust-solve over prebuilt submaps.
+
+    Factored out of :func:`slam_offline` so the online/deployable paths
+    (and replay tooling) drive the *same* machinery incrementally: pass
+    ``bank``/``tried`` from a previous call to continue a session. The
+    reference's counterpart is the backend loop search performed on
+    every submap insert (threadGlobal1.cpp:62-128 → addMapNodeCov,
+    MapGraph.cpp:1272-1484).
+
+    Returns ``(anchor_poses, n_loops, chi, bank, tried)``.
+    """
+    import numpy as np
+
+    dtype = anchor_poses.dtype
+    sig_gate = jax.jit(
+        lambda p, v: signature_gate(
+            submap_signatures(p, v), min_gap=5, per_dst=cfg.sig_per_dst
+        )
+    )(submaps.points, submaps.valid)
+    if odo_anchor_poses is None:
+        # First call of a session: the incoming estimate IS the raw
+        # odometry chain (the PCM/drift reference).
+        odo_anchor_poses = anchor_poses
+    wide = jax.jit(
+        lambda sm, op: wide_clouds(
+            sm, op, wing=cfg.wing, max_points=cfg.wide_points
+        )
+    )(submaps, odo_anchor_poses)
+    verify_fn = jax.jit(
+        lambda ap, rate, sm, wd, sg, tr, cov: _propose_and_verify(
+            cfg, ap, rate, sm, wd, sg, tr, cov
+        )
+    )
+    solve_fn = jax.jit(
+        lambda ap, op, rels, w, bs, bd, br, bq, ba, bt:
+        _solve_with_bank(
+            cfg, ap, op, rels, w, bs, bd, br, bq, ba, bt
+        )
+    )
+    a = int(anchor_poses.shape[0])
+    if tried is None:
+        tried = jnp.zeros((a, a), bool)
+    cap = cfg.max_loops
+    if bank is None:
+        bank = {
+            "src": np.zeros(cap, np.int32),
+            "dst": np.zeros(cap, np.int32),
+            "rel": np.zeros((cap, 3), np.float32),
+            "q": np.zeros(cap, np.float32),
+            "act": np.zeros(cap, bool),
+            "strict": np.zeros(cap, bool),
+        }
+    n_loops = jnp.asarray(0)
+    chi = jnp.asarray(0.0, dtype)
+    for r in range(cfg.rounds):
+        # The drift-rate anneals: once a solve has absorbed the
+        # loops found so far, pose distances are trustworthy at
+        # tighter radii and the budget shifts to nearby pairs.
+        # Already-verified pairs are excluded, so every round spends
+        # its full budget on a new slice of the candidate space;
+        # accepted loops persist in the bank across rounds.
+        rate = jnp.asarray(
+            cfg.drift_rate * (cfg.drift_anneal**r), dtype
+        )
+        cov = np.zeros(a, np.int32)
+        on = bank["act"] & bank["strict"]
+        np.add.at(cov, bank["src"][on], 1)
+        np.add.at(cov, bank["dst"][on], 1)
+        loops, tried = verify_fn(
+            anchor_poses, rate, submaps, wide, sig_gate, tried,
+            jnp.asarray(cov),
+        )
+        acc = np.asarray(loops.accept)
+        # Bank both tiers: strict accepts enter the solve directly;
+        # tentative matches wait in the bank until the promotion
+        # residual check in _solve_with_bank unlocks them (ADVICE r2:
+        # banking only `acc` made the whole promotion path dead code).
+        take = acc | np.asarray(loops.tentative)
+        src = np.concatenate([bank["src"][bank["act"]],
+                              np.asarray(loops.src)[take]])
+        dst = np.concatenate([bank["dst"][bank["act"]],
+                              np.asarray(loops.dst)[take]])
+        rel = np.concatenate([bank["rel"][bank["act"]],
+                              np.asarray(loops.rel)[take]])
+        q = np.concatenate([bank["q"][bank["act"]],
+                            np.asarray(loops.quality)[take]])
+        strict = np.concatenate([bank["strict"][bank["act"]],
+                                 acc[take]])
+        # Strict loops outrank tentative ones when the cap binds.
+        order = np.argsort(-(q + 10.0 * strict))[:cap]
+        n = len(order)
+        for key, val in (("src", src), ("dst", dst), ("rel", rel),
+                         ("q", q), ("strict", strict)):
+            bank[key][:n] = val[order]
+        bank["act"][:] = False
+        bank["act"][:n] = True
+        anchor_poses, n_loops, chi = solve_fn(
+            anchor_poses, odo_anchor_poses, rel_seq, seq_weight,
+            jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
+            jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),
+            jnp.asarray(bank["act"]), jnp.asarray(bank["strict"]),
+        )
+    return anchor_poses, n_loops, chi, bank, tried
+
+
 def slam_offline(
     model: LaserModel,
     ranges: Array,
     cfg: SlamConfig = SlamConfig(),
+    diag: dict | None = None,
 ) -> SlamResult:
     """End-to-end SLAM over a ``[T, N]`` range log.
 
@@ -385,85 +525,11 @@ def slam_offline(
     chi = jnp.asarray(0.0, ranges.dtype)
 
     if cfg.use_correlative:
-        import numpy as np
-
-        sig_gate = jax.jit(
-            lambda p, v: signature_gate(
-                submap_signatures(p, v), min_gap=5, per_dst=cfg.sig_per_dst
-            )
-        )(submaps.points, submaps.valid)
         odo_anchor_poses = anchor_poses
-        wide = jax.jit(
-            lambda sm, op: wide_clouds(
-                sm, op, wing=cfg.wing, max_points=cfg.wide_points
-            )
-        )(submaps, odo_anchor_poses)
-        verify_fn = jax.jit(
-            lambda ap, rate, sm, wd, sg, tr, cov: _propose_and_verify(
-                cfg, ap, rate, sm, wd, sg, tr, cov
-            )
+        anchor_poses, n_loops, chi, bank, tried = run_correlative_rounds(
+            cfg, submaps, anchor_poses, rel_seq, seq_weight,
+            odo_anchor_poses=odo_anchor_poses,
         )
-        solve_fn = jax.jit(
-            lambda ap, op, rels, w, bs, bd, br, bq, ba, bt:
-            _solve_with_bank(
-                cfg, ap, op, rels, w, bs, bd, br, bq, ba, bt
-            )
-        )
-        a = int(anchor_poses.shape[0])
-        tried = jnp.zeros((a, a), bool)
-        cap = cfg.max_loops
-        bank = {
-            "src": np.zeros(cap, np.int32),
-            "dst": np.zeros(cap, np.int32),
-            "rel": np.zeros((cap, 3), np.float32),
-            "q": np.zeros(cap, np.float32),
-            "act": np.zeros(cap, bool),
-            "strict": np.zeros(cap, bool),
-        }
-        for r in range(cfg.rounds):
-            # The drift-rate anneals: once a solve has absorbed the
-            # loops found so far, pose distances are trustworthy at
-            # tighter radii and the budget shifts to nearby pairs.
-            # Already-verified pairs are excluded, so every round spends
-            # its full budget on a new slice of the candidate space;
-            # accepted loops persist in the bank across rounds.
-            rate = jnp.asarray(
-                cfg.drift_rate * (cfg.drift_anneal**r), ranges.dtype
-            )
-            cov = np.zeros(a, np.int32)
-            on = bank["act"] & bank["strict"]
-            np.add.at(cov, bank["src"][on], 1)
-            np.add.at(cov, bank["dst"][on], 1)
-            loops, tried = verify_fn(
-                anchor_poses, rate, submaps, wide, sig_gate, tried,
-                jnp.asarray(cov),
-            )
-            acc = np.asarray(loops.accept)
-            take = acc
-            src = np.concatenate([bank["src"][bank["act"]],
-                                  np.asarray(loops.src)[take]])
-            dst = np.concatenate([bank["dst"][bank["act"]],
-                                  np.asarray(loops.dst)[take]])
-            rel = np.concatenate([bank["rel"][bank["act"]],
-                                  np.asarray(loops.rel)[take]])
-            q = np.concatenate([bank["q"][bank["act"]],
-                                np.asarray(loops.quality)[take]])
-            strict = np.concatenate([bank["strict"][bank["act"]],
-                                     acc[take]])
-            # Strict loops outrank tentative ones when the cap binds.
-            order = np.argsort(-(q + 10.0 * strict))[:cap]
-            n = len(order)
-            for key, val in (("src", src), ("dst", dst), ("rel", rel),
-                             ("q", q), ("strict", strict)):
-                bank[key][:n] = val[order]
-            bank["act"][:] = False
-            bank["act"][:n] = True
-            anchor_poses, n_loops, chi = solve_fn(
-                anchor_poses, odo_anchor_poses, rel_seq, seq_weight,
-                jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
-                jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),
-                jnp.asarray(bank["act"]), jnp.asarray(bank["strict"]),
-            )
     else:
         round_fn = jax.jit(
             lambda a_scans, a_poses, rels, radius, w, sm: _loop_round(
@@ -484,6 +550,15 @@ def slam_offline(
     final = jax.jit(
         lambda ap, op: _reattach(cfg, ap, op)
     )(anchor_poses, odo_poses)
+
+    if diag is not None and cfg.use_correlative:
+        import numpy as np
+
+        diag["bank"] = {k: np.array(v) for k, v in bank.items()}
+        diag["anchor_poses"] = np.asarray(anchor_poses)
+        diag["odo_anchor_poses"] = np.asarray(odo_anchor_poses)
+        diag["tried"] = np.asarray(tried)
+        diag["seq_weight"] = np.asarray(seq_weight)
 
     return SlamResult(
         poses=final,

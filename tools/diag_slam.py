@@ -1,0 +1,132 @@
+"""Run slam_offline on a bundled log and break down where the residual
+trajectory error lives (per-segment error, loop coverage, loop precision
+vs ground truth). Writes ``diag_<log>.json`` + ``diag_<log>.npz``.
+
+Usage: python tools/diag_slam.py [intel-lab|fr079|mit-cscail] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log", nargs="?", default="intel-lab")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from laser_slam_tpu.eval.diagnostics import (
+        classify_loops, loop_coverage, segment_errors,
+    )
+    from laser_slam_tpu.eval.metrics import ate
+    from laser_slam_tpu.io.carmen import read_carmen
+    from laser_slam_tpu.runtime.slam import SlamConfig, slam_offline
+
+    path = f"/root/reference/data/{args.log}.log"
+    log = read_carmen(path)
+    cfg = SlamConfig()
+    if args.rounds is not None:
+        cfg = __import__("dataclasses").replace(cfg, rounds=args.rounds)
+
+    d: dict = {}
+    t0 = time.time()
+    res = slam_offline(log.model, jnp.asarray(log.ranges), cfg, diag=d)
+    wall = time.time() - t0
+
+    gt = np.asarray(log.gt_pose)
+    est = np.asarray(res.poses)
+    odo = np.asarray(res.odo_poses)
+    a_odo = float(ate(jnp.asarray(odo), jnp.asarray(gt)).rmse)
+    a_slam = float(ate(jnp.asarray(est), jnp.asarray(gt)).rmse)
+
+    stride = cfg.anchor_stride
+    aidx = np.asarray(res.anchor_idx)
+    gt_anchor = gt[aidx]
+    a_anchor = float(
+        ate(jnp.asarray(d["anchor_poses"]), jnp.asarray(gt_anchor)).rmse
+    )
+
+    bank = d["bank"]
+    active = bank["act"]
+    strict = bank["strict"] & active
+    tent = active & ~bank["strict"]
+    rep_s = classify_loops(
+        bank["src"], bank["dst"], bank["rel"], strict, gt_anchor
+    )
+    rep_t = classify_loops(
+        bank["src"], bank["dst"], bank["rel"], tent, gt_anchor
+    )
+    cov = loop_coverage(bank["src"], bank["dst"], strict, len(aidx))
+    segs = segment_errors(est, gt, seg_len=100)
+    segs_odo = segment_errors(odo, gt, seg_len=100)
+
+    wrong_s = rep_s.t_err >= 0.5
+    out = {
+        "log": args.log,
+        "wall_s": round(wall, 1),
+        "ate_odo": round(a_odo, 3),
+        "ate_slam": round(a_slam, 3),
+        "ate_anchor": round(a_anchor, 3),
+        "n_loops_strict": rep_s.n,
+        "n_strict_correct(0.5m/0.2rad)": rep_s.n_correct,
+        "strict_wrong_pairs": [
+            [int(s), int(dd), round(float(te), 2)]
+            for s, dd, te in zip(
+                rep_s.src[wrong_s], rep_s.dst[wrong_s], rep_s.t_err[wrong_s]
+            )
+        ][:40],
+        "n_loops_tentative": rep_t.n,
+        "n_tentative_correct": rep_t.n_correct,
+        "coverage_zero_anchors": int((cov == 0).sum()),
+        "coverage_zero_spans": _spans(cov == 0),
+        "seg_t_rmse": [round(float(x), 2) for x in segs.t_rmse],
+        "seg_h_mean_deg": [
+            round(float(np.degrees(x)), 1) for x in segs.h_mean
+        ],
+        "seg_t_rmse_odo": [round(float(x), 2) for x in segs_odo.t_rmse],
+        "chi2": float(res.chi2),
+        "n_loops_solve": int(res.n_loops),
+    }
+    name = args.out or f"diag_{args.log}"
+    with open(f"{name}.json", "w") as f:
+        json.dump(out, f, indent=1)
+    np.savez(
+        f"{name}.npz",
+        est=est, odo=odo, gt=gt, anchor=d["anchor_poses"],
+        odo_anchor=d["odo_anchor_poses"], cov=cov,
+        bank_src=bank["src"], bank_dst=bank["dst"], bank_rel=bank["rel"],
+        bank_q=bank["q"], bank_act=active, bank_strict=bank["strict"],
+        seq_weight=d["seq_weight"],
+    )
+    print(json.dumps(out, indent=1))
+
+
+def _spans(mask):
+    """Contiguous True runs as [start, end] pairs."""
+    spans = []
+    start = None
+    for i, m in enumerate(mask):
+        if m and start is None:
+            start = i
+        elif not m and start is not None:
+            spans.append([start, i - 1])
+            start = None
+    if start is not None:
+        spans.append([start, len(mask) - 1])
+    return spans
+
+
+if __name__ == "__main__":
+    main()
