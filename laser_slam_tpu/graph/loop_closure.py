@@ -59,6 +59,10 @@ class VerifiedLoops(NamedTuple):
     #   looking matches below the strict gates; only usable after a
     #   residual-under-solution promotion check (see _solve_with_bank)
     diag: dict | None = None  # optional per-gate masks (tuning/tests)
+    cov: Array | None = None  # [C, 3, 3] per-loop Censi covariance of
+    #   ``rel`` (from the polish ICP) — the reference propagates its
+    #   matcher covariance into the graph the same way (FMatchKeyFrame2/
+    #   setCov, src/zhcsm/ZHCanonical_Matcher.cpp:287-298, 79-81)
 
 
 def submap_bboxes(
@@ -381,15 +385,15 @@ def verify_loops_correlative(
     n_theta: int = 72,
     coarse_res: float = 0.3,
     coarse_points: int = 192,
-    n_peaks: int = 4,
+    n_peaks: int = 8,
     chunk: int = 32,
     coarse_chunk: int = 16,
     coarse_min_score: float = 0.2,
-    quality_min: float = 0.7,
+    quality_min: float = 0.6,
     err_max: float = 0.05,
-    cycle_t_max: float = 0.15,
-    cycle_r_max: float = 0.06,
-    strong_goodness: float = 0.85,
+    cycle_t_max: float = 0.25,
+    cycle_r_max: float = 0.1,
+    strong_goodness: float = 0.8,
     strong_err: float = 0.03,
     identity_init: bool = False,
 ) -> VerifiedLoops:
@@ -409,11 +413,16 @@ def verify_loops_correlative(
       poses are 20 m apart (Olson-style correlative matching; the
       reference's init-free role is RANSAC feature matching,
       FlirterNode.cpp:394-423);
-    - the reference side is the ``wide_pts`` local context
-      (:func:`..graph.submap.wide_clouds`, ±wing submaps) — narrow
-      submap-vs-submap matching leaves the true alignment outside the
-      top-4 score peaks on 72% of true revisits (partial overlap);
-      wide-reference matching recovers it for ~75%;
+    - **both sides are wide** for the coarse score and triage: the
+      reference side is the ``wide_pts`` local context
+      (:func:`..graph.submap.wide_clouds`, ±wing submaps) and the query
+      side is the *dst* anchor's wide cloud — measured on 256 GT-true
+      intel-lab revisits, narrow-vs-narrow leaves the true alignment
+      out of the top-8 peaks on 34% of pairs, narrow-vs-wide on 27%,
+      wide-vs-wide on 18%, and wide-query triage then picks the true
+      peak on 97% of the pairs where it exists (find rate 62% → 79%);
+      the *final* polish and its gates stay narrow-query-vs-wide-ref so
+      the accepted relative pose is anchored to the dst submap proper;
     - the **top ``n_peaks`` NMS peaks** are each polished with trimmed
       point-to-segment ICP and the best gated survivor wins — argmax
       alone hands aliased corridor alignments the match;
@@ -445,21 +454,22 @@ def verify_loops_correlative(
     odo_rel = se2.relative(anchor_poses[cand.src], anchor_poses[cand.dst])
     init = jnp.zeros_like(odo_rel) if identity_init else odo_rel
 
-    p = submaps.points.shape[1]
-    stride = max(p // coarse_points, 1)
+    pw = wide_pts.shape[1] if wide_pts is not None else submaps.points.shape[1]
+    stride = max(pw // coarse_points, 1)
+    tri_stride = max(pw // 384, 1)
 
     def one(rw_p, rw_o, r_p, r_o, cw_p, cw_o, c_p, c_o, ip):
         peaks, scores = correlative_top_peaks(
-            rw_p, rw_o, c_p[::stride], c_o[::stride], ip,
+            rw_p, rw_o, cw_p[::stride], cw_o[::stride], ip,
             n_peaks=n_peaks, search_xy=search_xy,
             search_theta=search_theta, n_theta=n_theta, res=coarse_res,
         )
-        # Triage: short subsampled polish of every peak, score by
-        # goodness gated on error; keep the best basin.
+        # Triage: short subsampled wide-vs-wide polish of every peak,
+        # score by goodness gated on error; keep the best basin.
         tri = jax.vmap(
             lambda pk: match_icp_points(
-                rw_p[::2], rw_o[::2], c_p[::2], c_o[::2], pk,
-                iters=12, max_corr=4.0 * coarse_res,
+                rw_p[::2], rw_o[::2], cw_p[::tri_stride], cw_o[::tri_stride],
+                pk, iters=12, max_corr=4.0 * coarse_res,
             )
         )(peaks)
         tri_score = jnp.where(
@@ -571,7 +581,7 @@ def verify_loops_correlative(
     gates["pose"] = fwd.pose
     return VerifiedLoops(
         src=cand.src, dst=cand.dst, rel=rel, quality=quality, accept=accept,
-        tentative=tentative, diag=gates,
+        tentative=tentative, diag=gates, cov=jnp.nan_to_num(fwd.cov),
     )
 
 

@@ -150,6 +150,7 @@ def wide_clouds(
     wing: int = 4,
     max_points: int = 1536,
     resolution: float = 2.0 * SUBMAP_RESOLUTION,
+    block_id: Array | None = None,
 ) -> tuple[Array, Array]:
     """Per-anchor *wide* clouds: submaps ``i-wing..i+wing`` merged into
     anchor ``i``'s frame via the (locally accurate) odometry relatives —
@@ -171,6 +172,12 @@ def wide_clouds(
     raw = jnp.arange(s)[:, None] + offs[None, :]         # [S, K]
     idx = jnp.clip(raw, 0, s - 1)
     in_range = (raw >= 0) & (raw < s)
+    if block_id is not None:
+        # Never merge context across an odometry fracture: the relative
+        # pose between blocks is unknown (can be >90° wrong), so a wing
+        # crossing the break would smear exactly the reference clouds
+        # the cross-block loop verification depends on.
+        in_range = in_range & (block_id[idx] == block_id[:, None])
     pts_g = submaps.points[idx]                          # [S, K, P, 2]
     ok_g = submaps.valid[idx] & in_range[..., None]
     rel_g = se2.relative(

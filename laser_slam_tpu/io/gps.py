@@ -199,6 +199,9 @@ class GpsDriver:
         self._buf = b""
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self.ready = threading.Event()  # set once the port is open and
+        #   configured — callers (and tests feeding a pty) can wait on
+        #   it instead of racing the open's input flush
         self._ref: tuple[float, float] | None = None   # first fix lat/lon
         self._last: GpsObservation | None = None
         self._last_rmc: GpsVel | None = None
@@ -344,6 +347,7 @@ class GpsDriver:
         stop = stop or self._stop
         if self._fd is None and not self.open():
             return
+        self.ready.set()
         stale_reported = False
         while not stop.is_set():
             line = self._readline()

@@ -42,6 +42,7 @@ class PointIcpResult(NamedTuple):
     goodness: Array  # [] fraction of cur points matched at the final gate
     fail: Array      # [] bool
     n_matched: Array # [] int32
+    cov: Array | None = None  # [3, 3] Censi-style pose covariance
 
 
 def match_icp_points(
@@ -143,8 +144,35 @@ def match_icp_points(
     n_cur = jnp.maximum(jnp.sum(cur_valid), 1)
     goodness = nm.astype(dtype) / n_cur.astype(dtype)
     fail = nm < MIN_POINTS
+
+    # Censi-style pose covariance from the final correspondence set
+    # (the role of CSM's cov_x_m consumed via FMatchKeyFrame2/setCov,
+    # src/zhcsm/ZHCanonical_Matcher.cpp:287-298, 79-81): residual
+    # r_k = R(θ)p_k + t − tgt_k, J_k = [I₂ | R'(θ)p_k], so the Fisher
+    # information is H = Σ J_kᵀJ_k / σ² with σ² the matched-residual
+    # variance. Returned as cov = H⁻¹ (floored σ so a perfect overlap
+    # does not claim zero uncertainty).
+    q = se2.transform_points(pose, cur_pts)
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    dpx = -s * cur_pts[:, 0] - c * cur_pts[:, 1]          # R'(θ) p
+    dpy = c * cur_pts[:, 0] - s * cur_pts[:, 1]
+    w = match.astype(dtype)
+    m = jnp.maximum(jnp.sum(w), 1.0)
+    h00 = m
+    h11 = m
+    h02 = jnp.sum(w * dpx)
+    h12 = jnp.sum(w * dpy)
+    h22 = jnp.sum(w * (dpx * dpx + dpy * dpy))
+    H = jnp.array(
+        [[h00, 0.0, h02], [0.0, h11, h12], [h02, h12, h22]], dtype
+    )
+    sigma2 = jnp.maximum(err * err, (0.5 * min_corr) ** 2)
+    cov = sigma2 * jnp.linalg.inv(
+        H + 1e-3 * jnp.eye(3, dtype=dtype)
+    )
     return PointIcpResult(
-        pose=pose, err=err, goodness=goodness, fail=fail, n_matched=nm
+        pose=pose, err=err, goodness=goodness, fail=fail, n_matched=nm,
+        cov=cov,
     )
 
 

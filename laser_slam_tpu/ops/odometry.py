@@ -45,6 +45,13 @@ class OdometryResult(NamedTuple):
     # (deep fallback on a low-overlap pair; the backend downweights the
     # sequential edges spanning such steps, like the reference's
     # corridor information matrix, MapGraph.cpp:250-261)
+    fracture: Array | None = None  # [T] bool — step estimate is
+    # *unrecoverable*: every matcher failed its own confidence gate on a
+    # rotationally smeared pair (intel-lab scans 119-121 whip 210° in
+    # two frames; even a full ±π correlative search scores a wrong pose
+    # higher than the truth there). The chain is broken at such steps —
+    # downstream consumers must treat the spanning edge as a free hinge
+    # and must not merge map context across it.
 
 
 class _OdoCarry(NamedTuple):
@@ -79,19 +86,26 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
                 model, carry.last, cur, search_xy=1.2, n_theta=72
             )
             ex3, ey3, _ = error_index(model, carry.last, cur, corr.pose)
-            weak = (corr.score < 0.4) | (jnp.sqrt(ex3 + ey3) > 3.0 * KEYFRAME_ERR_THRESH)
-            return corr.pose, corr.fail, weak
+            err3 = jnp.sqrt(ex3 + ey3)
+            weak = (corr.score < 0.4) | (err3 > 3.0 * KEYFRAME_ERR_THRESH)
+            # Fracture: even the exhaustive matcher is unconfident — the
+            # pair is rotationally smeared beyond recovery.
+            frac = (corr.score < 0.35) | (err3 > 6.0 * KEYFRAME_ERR_THRESH)
+            return corr.pose, corr.fail, weak, frac
 
         def keep_psm(_):
-            return res2.pose, res2.fail, jnp.asarray(False)
+            return res2.pose, res2.fail, jnp.asarray(False), jnp.asarray(False)
 
-        rel, fail, weak = jax.lax.cond(bad2, deep_fallback, keep_psm, None)
-        return rel, fail, weak
+        rel, fail, weak, frac = jax.lax.cond(
+            bad2, deep_fallback, keep_psm, None
+        )
+        return rel, fail, weak, frac
 
     def normal_branch(_):
-        return res.pose, jnp.asarray(False), jnp.asarray(False)
+        return (res.pose, jnp.asarray(False), jnp.asarray(False),
+                jnp.asarray(False))
 
-    rel, all_failed, weak = jax.lax.cond(
+    rel, all_failed, weak, frac = jax.lax.cond(
         need_switch, switched_branch, normal_branch, None
     )
     base = jnp.where(need_switch, carry.last_gpose, carry.ref_gpose)
@@ -117,7 +131,10 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
         prior_rel=sel(jnp.where(need_switch, rel, res.pose), carry.prior_rel),
     )
     out_pose = jnp.where(keep, gpose, carry.last_gpose)
-    return new_carry, (out_pose, need_switch & keep, discarded, weak | discarded)
+    return new_carry, (
+        out_pose, need_switch & keep, discarded, weak | discarded,
+        frac | discarded,
+    )
 
 
 def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
@@ -132,7 +149,7 @@ def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
         last_gpose=zero,
         prior_rel=zero,
     )
-    _, (poses, switched, discarded, weak) = jax.lax.scan(
+    _, (poses, switched, discarded, weak, frac) = jax.lax.scan(
         lambda c, s: _step(model, c, s), init, rest
     )
     t = scans.ranges.shape[0]
@@ -142,6 +159,7 @@ def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
         switched=jnp.concatenate([f[None], switched]),
         discarded=jnp.concatenate([f[None], discarded]),
         weak=jnp.concatenate([f[None], weak]),
+        fracture=jnp.concatenate([f[None], frac]),
     )
 
 
@@ -164,4 +182,5 @@ def odometry_pairwise(
         switched=jnp.concatenate([f[None], jnp.ones(t1, bool)]),
         discarded=jnp.concatenate([f[None], res.fail]),
         weak=jnp.concatenate([f[None], res.fail]),
+        fracture=jnp.concatenate([f[None], res.fail]),
     )

@@ -62,6 +62,7 @@ class OnlineSlam:
         self._scans: list[Scan] = []        # anchor scans (host refs)
         self._poses: list[np.ndarray] = []  # per-scan poses
         self._weak: list[bool] = []
+        self._fracture: list[bool] = []
         self._t = 0
         self._fusion = ukf.init(jnp.zeros(3), 0.01) if self.use_fusion else None
         self._imap = None
@@ -90,15 +91,17 @@ class OnlineSlam:
             )
             self._poses.append(np.zeros(3, np.float32))
             self._weak.append(False)
+            self._fracture.append(False)
             self._maybe_anchor(scan, 0)
             self._t = 1
             if self._imap is not None:
                 self._imap.add(scan, self._poses[-1])
             return self._poses[-1]
 
-        self._carry, (pose, switched, discarded, weak) = self._step_fn(
+        self._carry, (pose, switched, discarded, weak, frac) = self._step_fn(
             self._carry, scan
         )
+        self._fracture.append(bool(frac))
         pose_np = np.asarray(pose)
         self._poses.append(pose_np)
         self._weak.append(bool(weak))

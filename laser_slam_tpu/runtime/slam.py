@@ -54,6 +54,9 @@ INFO_ADJ = 50.0    # sequential-edge information (MapGraph.cpp:251)
 INFO_LOOP = 10.0   # loop-edge information (MapGraph.cpp:252)
 INFO_WEAK = 0.5    # sequential edges spanning a weak/low-overlap step
 #                    (the reference's corridor value, MapGraph.cpp:253)
+HINGE_WEIGHT = 1e-3  # seq-weight factor for fractured (unrecoverable)
+#                    steps — the edge holds the chain together but must
+#                    not resist a loop-driven block rotation
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,7 +83,13 @@ class SlamConfig:
     per_dst: int = 12              # candidate budget per later anchor
     search_xy: float = 5.0         # [m] identity-centered verify window
     n_theta: int = 72              # rotation samples over ±π
-    coarse_res: float = 0.3        # [m] correlative grid cell
+    coarse_res: float = 0.3        # [m] correlative grid cell. 0.2
+    #                                finds ~4% more GT-true revisits
+    #                                (probe_peaks) but its score-volume
+    #                                conv (128² kernels) compiles for
+    #                                >18 min on the TPU service vs ~2 min
+    #                                at 0.3 — not worth it; the wide-query
+    #                                coarse+triage carries the find-rate
     verify_chunk: int = 32         # candidates per memory chunk
     sig_per_dst: int = 6           # signature-gate candidates per anchor
     radius_max_uncov: float = 60.0 # [m] gate-radius clip for pairs that
@@ -92,21 +101,36 @@ class SlamConfig:
     #                                reach their true revisits (measured:
     #                                anchors 10-41 of intel-lab stayed
     #                                unconstrained through all rounds)
-    min_quality: float = 0.7       # ICP goodness floor on loops —
-    #                                measured 99% edge precision; the
-    #                                solve needs few-and-right edges
-    #                                (loosening to 0.6 floods the bank
-    #                                with mild-wrong loops and WORSENS
-    #                                ATE despite higher recall)
+    min_quality: float = 0.6       # ICP goodness floor on loops —
+    #                                with the wide-query coarse search
+    #                                and the retuned cycle gates this
+    #                                measures ~97% strict precision at
+    #                                78% recall-of-found on GT-true
+    #                                intel-lab revisits (probe_platform)
     wing: int = 4                  # ± submaps in the wide reference cloud
     wide_points: int = 1536        # point budget of a wide cloud
-    n_peaks: int = 4               # polished correlative peaks per pair
+    n_peaks: int = 8               # polished correlative peaks per pair
     pcm_rate: float = 0.25         # [m/√anchor-step] PCM drift tolerance
     #                                (random-walk model; see pcm_prune)
     trim_residual_t: float = 1.0   # [m] post-solve loop-residual trim
     trim_residual_r: float = 0.3   # [rad]
     promote_residual_t: float = 0.7  # [m] tentative-loop promotion gate
     promote_residual_r: float = 0.2  # [rad]
+    promote_tentative: bool = False  # unlock loose-tier loops whose
+    #                                residual under the solved estimate is
+    #                                tiny. With the r3 retuned strict gates
+    #                                the strict tier absorbs the correct
+    #                                borderline matches and the remaining
+    #                                tentatives are ~92% junk — promotion
+    #                                measured ATE 4.27 vs 3.95 without
+    #                                (replay on the r3 intel bank)
+    cov_rounds: int = 2            # trailing coverage-focused waves:
+    #                                the whole candidate budget goes to
+    #                                pairs touching zero-coverage anchors
+    use_censi_info: bool = False   # per-loop information from the polish
+    #                                ICP's Censi covariance (normalized so
+    #                                the median loop keeps INFO_LOOP),
+    #                                instead of INFO_LOOP × quality
 
 
 class SlamResult(NamedTuple):
@@ -279,6 +303,101 @@ def _propose_and_verify(
     return loops, tried_new
 
 
+def _propose(
+    cfg: SlamConfig,
+    anchor_poses: Array,
+    rate: Array,
+    sig_gate: Array,
+    tried: Array,
+    coverage: Array,
+    focus_uncov: Array | bool = False,
+):
+    """Candidate proposal only (the gating half of
+    :func:`_propose_and_verify`): drift-aware pose gate ∪ appearance
+    gate, minus already-tried pairs, coverage-boosted selection. Returns
+    ``(cand, trust [C], tried_new)`` — verification runs separately in
+    host-driven chunks so each compiled device program stays small (the
+    monolithic propose+verify program takes minutes to compile on the
+    remote TPU service and is the prime suspect in its worker crashes on
+    361-beam logs)."""
+    a = anchor_poses.shape[0]
+    dtype = anchor_poses.dtype
+    centers = anchor_poses[:, :2]
+
+    rad = drift_radius_matrix(
+        a, cfg.loop_radius, rate, cfg.radius_max, dtype
+    )
+    uncov = coverage == 0
+    pair_uncov = uncov[:, None] | uncov[None, :]
+    rate0 = jnp.asarray(cfg.drift_rate, dtype)
+    rad0 = drift_radius_matrix(
+        a, cfg.loop_radius, rate0, cfg.radius_max_uncov, dtype
+    )
+    rad = jnp.where(pair_uncov, jnp.maximum(rad, rad0), rad)
+    pose_gate = gate_matrix(
+        centers, radius=rad, min_gap=5, overlap_min=None
+    )
+    gate = (pose_gate | sig_gate) & ~tried
+    # Coverage-focused waves (the trailing cov_rounds): spend the WHOLE
+    # candidate budget on pairs that would bind an uncovered anchor.
+    # In the mixed waves these pairs compete with thousands of easy
+    # re-verifications around well-covered revisits and lose — measured
+    # on intel-lab, 86 of 112 still-uncovered anchors had GT-true
+    # revisit pairs that verification would have accepted (59% find,
+    # 95% precision) but that were never proposed.
+    gate = gate & jnp.where(
+        jnp.asarray(focus_uncov), pair_uncov, jnp.ones_like(pair_uncov)
+    )
+    boost = 0.5 * pair_uncov.astype(dtype)
+    cand = select_candidates(
+        gate, centers, cfg.max_loops, radius=rad, per_dst=cfg.per_dst,
+        boost=boost,
+    )
+    gap = jnp.abs(cand.dst - cand.src).astype(dtype)
+    cand_uncov = uncov[cand.src] | uncov[cand.dst]
+    trust_rate = jnp.where(cand_uncov, rate0, rate)
+    trust = cfg.loop_radius + trust_rate * gap
+    tried_new = tried.at[cand.src, cand.dst].set(
+        tried[cand.src, cand.dst] | cand.valid
+    )
+    return cand, trust, tried_new
+
+
+def _verify_chunk(
+    cfg: SlamConfig,
+    submaps: Submaps,
+    anchor_poses: Array,
+    wide_pts: Array,
+    wide_ok: Array,
+    src: Array,
+    dst: Array,
+    valid: Array,
+    trust: Array,
+):
+    """Verify one fixed-size chunk of candidates (one small device
+    program, reused across chunks/rounds/laser models — submap clouds
+    are shape-bucketed by point budget, not beam count)."""
+    from ..graph.loop_closure import LoopCandidates
+
+    cand = LoopCandidates(src=src, dst=dst, valid=valid)
+    return verify_loops_correlative(
+        submaps,
+        anchor_poses,
+        cand,
+        cand_radius=trust,
+        wide_pts=wide_pts,
+        wide_ok=wide_ok,
+        search_xy=cfg.search_xy,
+        search_theta=float(jnp.pi),
+        n_theta=cfg.n_theta,
+        coarse_res=cfg.coarse_res,
+        n_peaks=cfg.n_peaks,
+        chunk=0,
+        quality_min=cfg.min_quality,
+        identity_init=True,
+    )
+
+
 def _solve_with_bank(
     cfg: SlamConfig,
     anchor_poses: Array,
@@ -291,6 +410,7 @@ def _solve_with_bank(
     bank_quality: Array,
     bank_active: Array,
     bank_strict: Array,
+    bank_cov: Array | None = None,
 ):
     """Robust solve over the sequential chain + the accumulated loop
     bank: PCM pruning (drift-scaled mutual consistency through the raw
@@ -339,12 +459,32 @@ def _solve_with_bank(
     i_all = jnp.concatenate([seq_i, bank_src.astype(jnp.int32)])
     j_all = jnp.concatenate([seq_i + 1, bank_dst.astype(jnp.int32)])
     meas = jnp.concatenate([rel_seq, bank_rel], axis=0)
+    if cfg.use_censi_info and bank_cov is not None:
+        # Per-loop information from the matcher covariance, normalized
+        # so the *median* active loop carries INFO_LOOP: raw Censi info
+        # (~1e5 for a 500-point match at 2 cm residual) would let DCS
+        # annihilate every drift-sized residual before the solve can
+        # close it, so only the relative weighting is kept.
+        w = jnp.linalg.inv(
+            bank_cov + 1e-6 * jnp.eye(3, dtype=dtype)[None]
+        )
+        tr = 0.5 * (w[:, 0, 0] + w[:, 1, 1])
+        tr_act = jnp.where(bank_active, tr, jnp.nan)
+        med = jnp.nanmedian(tr_act)
+        scale = INFO_LOOP / jnp.maximum(med, 1e-6)
+        loop_info = jnp.clip(
+            w * scale, 0.0, 10.0 * INFO_LOOP
+        )
+        loop_info = 0.5 * (loop_info + jnp.swapaxes(loop_info, -1, -2))
+    else:
+        loop_info = jnp.tile(
+            eye[None] * INFO_LOOP, (bank_src.shape[0], 1, 1)
+        ) * jnp.clip(bank_quality, 0.0, 1.0)[:, None, None]
     info = jnp.concatenate(
         [
             jnp.tile(eye[None] * INFO_ADJ, (a - 1, 1, 1))
             * seq_weight[:, None, None],
-            jnp.tile(eye[None] * INFO_LOOP, (bank_src.shape[0], 1, 1))
-            * jnp.clip(bank_quality, 0.0, 1.0)[:, None, None],
+            loop_info,
         ],
         axis=0,
     )
@@ -371,7 +511,10 @@ def _solve_with_bank(
     bad = (jnp.linalg.norm(d[:, :2], axis=-1) > cfg.trim_residual_t) | (
         jnp.abs(se2.normalize_angle(d[:, 2])) > cfg.trim_residual_r
     )
-    keep2 = ((keep & bank_strict) | promoted(g_opt.poses)) & ~bad
+    promo = promoted(g_opt.poses) if cfg.promote_tentative else (
+        jnp.zeros_like(bank_strict)
+    )
+    keep2 = ((keep & bank_strict) | promo) & ~bad
     active2 = jnp.concatenate([jnp.ones(a - 1, bool), keep2])
     g2 = g_opt._replace(e_active=active2)
     g_opt2, chi2_ = optimize(g2, cfg.gn_iters)
@@ -387,6 +530,7 @@ def run_correlative_rounds(
     bank: dict | None = None,
     tried: Array | None = None,
     odo_anchor_poses: Array | None = None,
+    block_id: Array | None = None,
 ):
     """The init-free loop-closure backend: ``cfg.rounds`` waves of
     propose→verify→bank→robust-solve over prebuilt submaps.
@@ -400,32 +544,86 @@ def run_correlative_rounds(
 
     Returns ``(anchor_poses, n_loops, chi, bank, tried)``.
     """
+    import sys
+    import time as _time
+
     import numpy as np
 
+    def _t(msg, t0):
+        print(f"[slam] {msg}: {_time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return _time.perf_counter()
+
     dtype = anchor_poses.dtype
+    t0 = _time.perf_counter()
     sig_gate = jax.jit(
         lambda p, v: signature_gate(
             submap_signatures(p, v), min_gap=5, per_dst=cfg.sig_per_dst
         )
     )(submaps.points, submaps.valid)
+    jax.block_until_ready(sig_gate)
+    t0 = _t("signature gate", t0)
     if odo_anchor_poses is None:
         # First call of a session: the incoming estimate IS the raw
         # odometry chain (the PCM/drift reference).
         odo_anchor_poses = anchor_poses
+    if block_id is None:
+        block_id = jnp.zeros(submaps.points.shape[0], jnp.int32)
     wide = jax.jit(
-        lambda sm, op: wide_clouds(
-            sm, op, wing=cfg.wing, max_points=cfg.wide_points
+        lambda sm, op, bid: wide_clouds(
+            sm, op, wing=cfg.wing, max_points=cfg.wide_points,
+            block_id=bid,
         )
-    )(submaps, odo_anchor_poses)
-    verify_fn = jax.jit(
-        lambda ap, rate, sm, wd, sg, tr, cov: _propose_and_verify(
-            cfg, ap, rate, sm, wd, sg, tr, cov
+    )(submaps, odo_anchor_poses, block_id)
+    jax.block_until_ready(wide)
+    t0 = _t("wide clouds", t0)
+    # Proposal and verification are SEPARATE compiled programs, and
+    # verification runs as a host loop over fixed-size chunks: one
+    # monolithic propose+verify program compiles for many minutes on the
+    # remote TPU service (and crashed its worker on the 361-beam logs),
+    # while the per-chunk program is small, compiles in seconds, and is
+    # reused across chunks, rounds and logs.
+    propose_fn = jax.jit(
+        lambda ap, rate, sg, tr, cov, fu: _propose(
+            cfg, ap, rate, sg, tr, cov, fu
         )
     )
+    chunk_fn = jax.jit(
+        lambda sm, ap, wp, wo, s_, d_, v_, t_: _verify_chunk(
+            cfg, sm, ap, wp, wo, s_, d_, v_, t_
+        )
+    )
+
+    def verify_fn(ap, rate, sm, wd, sg, tr, cov, fu=False):
+        tp = _time.perf_counter()
+        cand, trust, tr_new = propose_fn(
+            ap, rate, sg, tr, cov, jnp.asarray(fu)
+        )
+        jax.block_until_ready(cand.src)
+        tp = _t("  propose", tp)
+        c = cfg.verify_chunk
+        n_all = int(cand.src.shape[0])
+        outs = []
+        for i in range(0, n_all, c):
+            outs.append(
+                chunk_fn(
+                    sm, ap, wd[0], wd[1],
+                    cand.src[i:i + c], cand.dst[i:i + c],
+                    cand.valid[i:i + c], trust[i:i + c],
+                )
+            )
+            jax.block_until_ready(outs[-1].accept)
+            tp = _t(f"  chunk {i // c}", tp)
+        loops = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+            *outs,
+        )
+        return loops, tr_new
+
     solve_fn = jax.jit(
-        lambda ap, op, rels, w, bs, bd, br, bq, ba, bt:
+        lambda ap, op, rels, w, bs, bd, br, bq, ba, bt, bc:
         _solve_with_bank(
-            cfg, ap, op, rels, w, bs, bd, br, bq, ba, bt
+            cfg, ap, op, rels, w, bs, bd, br, bq, ba, bt, bc
         )
     )
     a = int(anchor_poses.shape[0])
@@ -440,10 +638,12 @@ def run_correlative_rounds(
             "q": np.zeros(cap, np.float32),
             "act": np.zeros(cap, bool),
             "strict": np.zeros(cap, bool),
+            "cov": np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1)),
         }
     n_loops = jnp.asarray(0)
     chi = jnp.asarray(0.0, dtype)
-    for r in range(cfg.rounds):
+    for r in range(cfg.rounds + cfg.cov_rounds):
+        focus = r >= cfg.rounds
         # The drift-rate anneals: once a solve has absorbed the
         # loops found so far, pose distances are trustworthy at
         # tighter radii and the budget shifts to nearby pairs.
@@ -451,17 +651,47 @@ def run_correlative_rounds(
         # its full budget on a new slice of the candidate space;
         # accepted loops persist in the bank across rounds.
         rate = jnp.asarray(
-            cfg.drift_rate * (cfg.drift_anneal**r), dtype
+            cfg.drift_rate * (cfg.drift_anneal ** min(r, cfg.rounds - 1)),
+            dtype,
+        )
+        # Coverage = loops that bind an anchor to a DISTANT part of the
+        # trajectory (long index gap or another fracture block) AND are
+        # consistent with the current solution. Short intra-block loops
+        # (gap 6-20) polish local geometry but cannot place a drifted
+        # block globally, and a *wrong* loop on a still-misplaced anchor
+        # must not mark it covered — both failure modes shrank the
+        # search gates of exactly the anchors that most needed wide ones
+        # (intel-lab anchors 13-39 sat 15 m / 90° off with cov 1-3).
+        bid_np = np.asarray(block_id)
+        ap_np = np.asarray(anchor_poses)
+        on = bank["act"] & bank["strict"]
+        gapb = np.abs(
+            bank["dst"].astype(np.int64) - bank["src"].astype(np.int64)
+        )
+        pred = np.asarray(
+            se2.relative(
+                jnp.asarray(ap_np[bank["src"]]),
+                jnp.asarray(ap_np[bank["dst"]]),
+            )
+        )
+        resid = np.asarray(
+            se2.relative(jnp.asarray(bank["rel"]), jnp.asarray(pred))
+        )
+        consistent = (
+            np.linalg.norm(resid[:, :2], axis=-1) < 1.0
+        ) & (np.abs((resid[:, 2] + np.pi) % (2 * np.pi) - np.pi) < 0.3)
+        binds = on & consistent & (
+            (gapb >= 20) | (bid_np[bank["src"]] != bid_np[bank["dst"]])
         )
         cov = np.zeros(a, np.int32)
-        on = bank["act"] & bank["strict"]
-        np.add.at(cov, bank["src"][on], 1)
-        np.add.at(cov, bank["dst"][on], 1)
+        np.add.at(cov, bank["src"][binds], 1)
+        np.add.at(cov, bank["dst"][binds], 1)
         loops, tried = verify_fn(
             anchor_poses, rate, submaps, wide, sig_gate, tried,
-            jnp.asarray(cov),
+            jnp.asarray(cov), focus,
         )
         acc = np.asarray(loops.accept)
+        t0 = _t(f"round {r} verify", t0)
         # Bank both tiers: strict accepts enter the solve directly;
         # tentative matches wait in the bank until the promotion
         # residual check in _solve_with_bank unlocks them (ADVICE r2:
@@ -477,11 +707,13 @@ def run_correlative_rounds(
                             np.asarray(loops.quality)[take]])
         strict = np.concatenate([bank["strict"][bank["act"]],
                                  acc[take]])
+        cov = np.concatenate([bank["cov"][bank["act"]],
+                              np.asarray(loops.cov)[take]])
         # Strict loops outrank tentative ones when the cap binds.
         order = np.argsort(-(q + 10.0 * strict))[:cap]
         n = len(order)
         for key, val in (("src", src), ("dst", dst), ("rel", rel),
-                         ("q", q), ("strict", strict)):
+                         ("q", q), ("strict", strict), ("cov", cov)):
             bank[key][:n] = val[order]
         bank["act"][:] = False
         bank["act"][:n] = True
@@ -490,7 +722,10 @@ def run_correlative_rounds(
             jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
             jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),
             jnp.asarray(bank["act"]), jnp.asarray(bank["strict"]),
+            jnp.asarray(bank["cov"]),
         )
+        jax.block_until_ready(anchor_poses)
+        t0 = _t(f"round {r} solve (bank={int(bank['act'].sum())})", t0)
     return anchor_poses, n_loops, chi, bank, tried
 
 
@@ -511,7 +746,7 @@ def slam_offline(
         lambda r: _frontend(model, cfg, r), static_argnums=()
     )
     (scans, odo_poses, anchor_idx, anchor_scans, anchor_poses, rel_seq,
-     seq_weight) = front(ranges)
+     seq_weight, block_id) = front(ranges)
 
     submaps = None
     if cfg.use_submaps or cfg.use_correlative:
@@ -528,7 +763,7 @@ def slam_offline(
         odo_anchor_poses = anchor_poses
         anchor_poses, n_loops, chi, bank, tried = run_correlative_rounds(
             cfg, submaps, anchor_poses, rel_seq, seq_weight,
-            odo_anchor_poses=odo_anchor_poses,
+            odo_anchor_poses=odo_anchor_poses, block_id=block_id,
         )
     else:
         round_fn = jax.jit(
@@ -588,9 +823,27 @@ def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array):
     weak_per_edge = jax.ops.segment_sum(
         odo.weak.astype(jnp.int32), edge_of_step, num_segments=k - 1
     )
-    seq_weight = jnp.where(weak_per_edge > 0, INFO_WEAK / INFO_ADJ, 1.0)
+    # Fractured steps (unrecoverable matches — see OdometryResult) make
+    # the spanning anchor edge a near-free hinge: its measured relative
+    # rotation can be wrong by >90° (intel-lab scans 119-121), and any
+    # non-negligible information there fights the loop closures that are
+    # the only way to place the blocks on either side.
+    frac_per_edge = jax.ops.segment_sum(
+        odo.fracture.astype(jnp.int32), edge_of_step, num_segments=k - 1
+    )
+    seq_weight = jnp.where(
+        frac_per_edge > 0,
+        HINGE_WEIGHT,
+        jnp.where(weak_per_edge > 0, INFO_WEAK / INFO_ADJ, 1.0),
+    )
+    # Block id per anchor: increments at each fractured edge; map
+    # context (wide clouds) must never merge across blocks.
+    block_id = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum((frac_per_edge > 0).astype(jnp.int32))]
+    )
     return (scans, odo.poses, anchor_idx, anchor_scans, anchor_poses,
-            rel_seq, seq_weight)
+            rel_seq, seq_weight, block_id)
 
 
 def _reattach(cfg: SlamConfig, anchor_poses: Array, odo_poses: Array) -> Array:

@@ -69,7 +69,7 @@ class Frontend:
             self._carry = _OdoCarry(scan, scan, zero, zero, zero)
             pose = np.zeros(3, np.float32)
         else:
-            self._carry, (p, _, _, w) = self._step_fn(self._carry, scan)
+            self._carry, (p, _, _, w, _f) = self._step_fn(self._carry, scan)
             pose = np.asarray(p)
             weak = bool(w)
         self._apply_updates()

@@ -92,6 +92,7 @@ def test_driver_delivers_enu_fixes_over_pty():
     )
     try:
         drv.start()
+        assert drv.ready.wait(2.0)
         # ~111.9 m north per minute of latitude at this latitude scale.
         pty.write(_gga_at("4807.000", "01131.000", "120000"))
         pty.write(nmea(RMC.replace("123519", "120001")))
@@ -129,6 +130,7 @@ def test_driver_reports_no_fix_and_derived_velocity():
     )
     try:
         drv.start()
+        assert drv.ready.wait(2.0)
         pty.write(_gga_at("4807.000", "01131.000", "120000", quality=0))
         pty.write(_gga_at("4807.000", "01131.000", "120000"))
         # 1 s later, moved north — no RMC, so velocity is derived.
