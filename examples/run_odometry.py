@@ -45,7 +45,7 @@ def main():
     print(f"preprocess: {time.time() - t0:.2f}s")
 
     run = odometry_keyframe if args.mode == "keyframe" else odometry_pairwise
-    runner = jax.jit(lambda s: run(model, s))
+    runner = lambda s: run(model, s)  # odometry_keyframe is host-orchestrated
     t0 = time.time()
     result = jax.block_until_ready(runner(scans))
     t_first = time.time() - t0

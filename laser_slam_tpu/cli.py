@@ -35,7 +35,7 @@ def cmd_odometry(args):
     scans = preprocess(jnp.asarray(log.ranges), log.model)
     run = odometry_pairwise if args.pairwise else odometry_keyframe
     t0 = time.time()
-    res = jax.block_until_ready(jax.jit(lambda s: run(log.model, s))(scans))
+    res = jax.block_until_ready(run(log.model, scans))
     dt = time.time() - t0
     est = np.asarray(res.poses)
     print(f"{log.n_scans} scans in {dt:.2f}s (incl. compile)")

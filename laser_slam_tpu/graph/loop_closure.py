@@ -437,8 +437,6 @@ def verify_loops_correlative(
       (the uncertainty that proposed the pair; isBigTrafo's role,
       MapGraph.cpp:2103-2114).
     """
-    from ..ops.correlative import correlative_top_peaks
-
     ref_pts = submaps.points[cand.src]
     ref_ok = submaps.valid[cand.src]
     cur_pts = submaps.points[cand.dst]
@@ -452,9 +450,67 @@ def verify_loops_correlative(
         refw_pts, refw_ok = ref_pts, ref_ok
         curw_pts, curw_ok = cur_pts, cur_ok
     odo_rel = se2.relative(anchor_poses[cand.src], anchor_poses[cand.dst])
+    return verify_pairs_correlative(
+        refw_pts, refw_ok, ref_pts, ref_ok,
+        curw_pts, curw_ok, cur_pts, cur_ok,
+        odo_rel, cand.valid, cand_radius,
+        src=cand.src, dst=cand.dst,
+        search_xy=search_xy, search_theta=search_theta, n_theta=n_theta,
+        coarse_res=coarse_res, coarse_points=coarse_points,
+        n_peaks=n_peaks, chunk=chunk,
+        coarse_min_score=coarse_min_score, quality_min=quality_min,
+        err_max=err_max, cycle_t_max=cycle_t_max, cycle_r_max=cycle_r_max,
+        strong_goodness=strong_goodness, strong_err=strong_err,
+        identity_init=identity_init,
+    )
+
+
+def verify_pairs_correlative(
+    refw_pts: Array,
+    refw_ok: Array,
+    ref_pts: Array,
+    ref_ok: Array,
+    curw_pts: Array,
+    curw_ok: Array,
+    cur_pts: Array,
+    cur_ok: Array,
+    odo_rel: Array,
+    valid: Array,
+    cand_radius: Array | None = None,
+    src: Array | None = None,
+    dst: Array | None = None,
+    search_xy: float = 5.0,
+    search_theta: float = float(jnp.pi),
+    n_theta: int = 72,
+    coarse_res: float = 0.3,
+    coarse_points: int = 192,
+    n_peaks: int = 8,
+    chunk: int = 32,
+    coarse_min_score: float = 0.2,
+    quality_min: float = 0.6,
+    err_max: float = 0.05,
+    cycle_t_max: float = 0.25,
+    cycle_r_max: float = 0.1,
+    strong_goodness: float = 0.8,
+    strong_err: float = 0.03,
+    identity_init: bool = False,
+) -> VerifiedLoops:
+    """Pair-level core of :func:`verify_loops_correlative`: all clouds
+    already gathered per candidate ``[C, P, 2]`` / ``[C, W, 2]``. The
+    compiled shape depends only on the candidate count and the
+    narrow/wide point budgets — NOT on the anchor count or the laser
+    beam count — so one executable serves every log, laser model, and
+    growing online session (the shape bucketing that keeps the remote
+    TPU service's multi-minute compiles one-time)."""
+    from ..ops.correlative import correlative_top_peaks
+
+    if src is None:
+        src = jnp.zeros(odo_rel.shape[0], jnp.int32)
+    if dst is None:
+        dst = jnp.zeros(odo_rel.shape[0], jnp.int32)
     init = jnp.zeros_like(odo_rel) if identity_init else odo_rel
 
-    pw = wide_pts.shape[1] if wide_pts is not None else submaps.points.shape[1]
+    pw = refw_pts.shape[1]
     stride = max(pw // coarse_points, 1)
     tri_stride = max(pw // 384, 1)
 
@@ -478,6 +534,8 @@ def verify_loops_correlative(
         best = jnp.argmax(tri_score)
         peak = peaks[best]
         peak_score = scores[best]
+        tri_good = tri.goodness[best]
+        tri_err = tri.err[best]
 
         # Full polish of the winning basin against the wide reference.
         fwd = match_icp_points(
@@ -493,9 +551,9 @@ def verify_loops_correlative(
             cw_p, cw_o, r_p, r_o, se2.inverse(fwd.pose),
             iters=30, max_corr=4.0 * coarse_res,
         )
-        return fwd, bwd, peak, peak_score
+        return fwd, bwd, peak, peak_score, tri_good, tri_err
 
-    fwd, bwd, peak, peak_score = _chunked_vmap(
+    fwd, bwd, peak, peak_score, tri_good, tri_err = _chunked_vmap(
         one,
         (refw_pts, refw_ok, ref_pts, ref_ok, curw_pts, curw_ok,
          cur_pts, cur_ok, init),
@@ -527,7 +585,7 @@ def verify_loops_correlative(
         "quality_ok": fwd.goodness >= quality_min,
         "err_ok": fwd.err < err_max,
     }
-    accept = cand.valid
+    accept = valid
     for m in gates.values():
         accept = accept & m
     # Strong-accept bypass of the reciprocal gate: the backward leg
@@ -538,7 +596,7 @@ def verify_loops_correlative(
     # 0.83), so it stands on its own; PCM + residual trim remain as
     # backstops.
     strong = (
-        cand.valid
+        valid
         & gates["coarse_ok"]
         & gates["fwd_ok"]
         & gates["near_peak"]
@@ -558,7 +616,7 @@ def verify_loops_correlative(
     cyc_t = jnp.linalg.norm(cycle[:, :2], axis=-1)
     cyc_r = jnp.abs(se2.normalize_angle(cycle[:, 2]))
     tentative = (
-        cand.valid
+        valid
         & ~accept
         & ~fwd.fail
         & near_peak
@@ -574,13 +632,15 @@ def verify_loops_correlative(
     )
     quality = jnp.nan_to_num(fwd.goodness)
     gates["coarse_score"] = peak_score
+    gates["tri_goodness"] = tri_good      # wide-vs-wide context overlap
+    gates["tri_err"] = tri_err
     gates["goodness"] = fwd.goodness
     gates["err"] = fwd.err
     gates["cycle_t"] = cyc_t
     gates["cycle_r"] = cyc_r
     gates["pose"] = fwd.pose
     return VerifiedLoops(
-        src=cand.src, dst=cand.dst, rel=rel, quality=quality, accept=accept,
+        src=src, dst=dst, rel=rel, quality=quality, accept=accept,
         tentative=tentative, diag=gates, cov=jnp.nan_to_num(fwd.cov),
     )
 

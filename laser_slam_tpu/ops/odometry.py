@@ -62,7 +62,18 @@ class _OdoCarry(NamedTuple):
     prior_rel: Array   # [3] pose of previous scan in keyframe frame
 
 
-def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
+def _step(model: LaserModel, carry: _OdoCarry, cur: Scan,
+          deep_inline: bool = True):
+    """One odometry step. ``deep_inline`` controls whether the
+    exhaustive correlative fallback runs inside this program (fine for
+    the per-scan online frontends) or is deferred: with
+    ``deep_inline=False`` the step only FLAGS the need (``weak``) and
+    the caller re-matches flagged steps in a separate small batched
+    program (:func:`_deep_rematch`). The inline variant inside the
+    whole-log ``lax.scan`` miscompiles on the TPU service at 361 beams
+    — the branch kernel faults the worker the first time a real deep
+    fallback executes (fr079 scan 800) — and a giant scan program is
+    the wrong place for a rarely-taken exhaustive search anyway."""
     # Match against the keyframe with the previous relative pose as prior
     # (ZHPolar_Match.cpp:786-791).
     res = match_psm(model, carry.ref, cur, carry.prior_rel)
@@ -80,6 +91,11 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
         res2 = match_psm(model, carry.last, cur)
         ex2, ey2, _ = error_index(model, carry.last, cur, res2.pose)
         bad2 = res2.fail | (jnp.sqrt(ex2 + ey2) > 2.0 * KEYFRAME_ERR_THRESH)
+
+        if not deep_inline:
+            # Defer: keep the PSM estimate as a placeholder, flag the
+            # step for the batched exhaustive re-match.
+            return res2.pose, res2.fail, bad2, jnp.asarray(False)
 
         def deep_fallback(_):
             corr = match_correlative(
@@ -137,8 +153,77 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan):
     )
 
 
-def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
-    """Run keyframe odometry over a preprocessed ``[T, N]`` scan log."""
+def _deep_rematch_chunk(
+    model: LaserModel, ref: Scan, cur: Scan, prior: Array, dt_big: Array
+):
+    """Batched exhaustive fallback: full ±π correlative match of each
+    (previous, current) scan pair + confidence classification. One
+    small compiled program per chunk shape, reused across the log.
+
+    ``prior [B, 3]`` is the banded matcher's placeholder estimate. A
+    step is a *fracture* only when the exhaustive matcher is
+    unconfident AND disagrees with the banded estimate: two independent
+    matchers agreeing is strong evidence the step is fine even when the
+    correlative score is low (long corridors legitimately score low),
+    and flagging such steps as fractures on fr079 turned its
+    never-revisited final stretch into a free pendulum."""
+    def one(r, c, p, big):
+        corr = match_correlative(model, r, c, search_xy=1.2, n_theta=72)
+        ex, ey, _ = error_index(model, r, c, corr.pose)
+        err = jnp.sqrt(ex + ey)
+        low_conf = (corr.score < 0.35) | (err > 6.0 * KEYFRAME_ERR_THRESH)
+        weak = (corr.score < 0.4) | (err > 3.0 * KEYFRAME_ERR_THRESH)
+        d = se2.relative(p, corr.pose)
+        disagree = (jnp.linalg.norm(d[:2]) > 0.5) | (
+            jnp.abs(se2.normalize_angle(d[2])) > 0.3
+        )
+        # Fracture needs BOTH a low-confidence exhaustive match AND a
+        # corroborating anomaly (matcher disagreement or a frame-drop
+        # time gap). Any single signal over-fires: low_conf alone flags
+        # fr079's legitimate low-overlap corridor steps (8 false hinges
+        # → its never-revisited final stretch swings freely), dt alone
+        # flags ~20 benign intel steps (the early trajectory shredded
+        # into floppy fragments, ATE 4.4 vs 3.2).
+        frac = low_conf & (disagree | big)
+        return corr.pose, corr.fail, weak, frac
+
+    return jax.vmap(one)(ref, cur, prior, dt_big)
+
+
+def odometry_keyframe(
+    model: LaserModel,
+    scans: Scan,
+    deep_chunk: int = 64,
+    timestamps=None,
+) -> OdometryResult:
+    """Run keyframe odometry over a preprocessed ``[T, N]`` scan log.
+
+    Two passes, host-orchestrated (NOT wrappable in an outer ``jit``):
+
+    1. one ``lax.scan`` of PSM + keyframe switching that *flags* steps
+       whose banded matchers failed;
+    2. a host loop of small batched correlative programs that re-match
+       the flagged steps with a full ±π search, then an associative
+       re-chaining of the per-step relatives.
+
+    The round-2 design ran the exhaustive fallback as a branch inside
+    the whole-log scan; on the remote TPU service that branch kernel
+    miscompiles at 361 beams and crashes the worker the first time a
+    real fallback executes (fr079 scan 800) — and a giant scan program
+    is the wrong home for a rarely-taken exhaustive search regardless:
+    splitting it keeps every compiled program small and reusable.
+
+    ``timestamps [T]`` (optional) drives frame-drop fracture detection:
+    intel-lab's catastrophic heading breaks (scans 119-121, 393-394 —
+    the robot whips 120-210° between frames) are exactly the steps
+    whose inter-scan dt is 12× the median. Across such a gap BOTH
+    matchers can confidently agree on a wrong pose (measured: the full
+    ±π correlative scores 0.70 for a pose 79° off GT at scan 119→120),
+    so a deep-flagged step spanning dt > 8× median is marked fractured
+    regardless of matcher confidence.
+    """
+    import numpy as np
+
     first = jax.tree.map(lambda x: x[0], scans)
     rest = jax.tree.map(lambda x: x[1:], scans)
     zero = jnp.zeros(3, scans.ranges.dtype)
@@ -149,17 +234,66 @@ def odometry_keyframe(model: LaserModel, scans: Scan) -> OdometryResult:
         last_gpose=zero,
         prior_rel=zero,
     )
-    _, (poses, switched, discarded, weak, frac) = jax.lax.scan(
-        lambda c, s: _step(model, c, s), init, rest
+    pass1 = jax.jit(
+        lambda i, r: jax.lax.scan(
+            lambda c, s: _step(model, c, s, deep_inline=False), i, r
+        )
     )
+    _, (poses, switched, discarded, deep_flag, _unused) = pass1(init, rest)
+
+    poses = jnp.concatenate([zero[None], poses], axis=0)
     t = scans.ranges.shape[0]
+    need = np.asarray(deep_flag | discarded)          # aligned to steps 1..T-1
+    weak = np.array(need)
+    disc = np.zeros(t - 1, bool)
+    frac = np.zeros(t - 1, bool)
+
+    if timestamps is not None:
+        dts = np.diff(np.asarray(timestamps))
+        med = max(float(np.median(dts)), 1e-6)
+        dt_big = dts > 8.0 * med                  # [T-1], step j
+        weak |= dt_big
+    else:
+        dt_big = np.zeros(t - 1, bool)
+
+    idx = np.nonzero(need)[0]
+    if idx.size:
+        rel = se2.relative(poses[:-1], poses[1:])     # [T-1]
+        pad = (-idx.size) % deep_chunk
+        idxp = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+        rematch = jax.jit(
+            lambda r, c, p, b: _deep_rematch_chunk(model, r, c, p, b)
+        )
+        for i in range(0, idxp.size, deep_chunk):
+            sl = idxp[i:i + deep_chunk]
+            ref_b = jax.tree.map(lambda x: x[sl], scans)      # scan[t-1]... sl is step
+            cur_b = jax.tree.map(lambda x: x[sl + 1], scans)
+            prior_b = rel[jnp.asarray(sl)]
+            big_b = jnp.asarray(dt_big[sl])
+            pose_b, fail_b, weak_b, frac_b = jax.tree.map(
+                np.asarray, rematch(ref_b, cur_b, prior_b, big_b)
+            )
+            n_real = min(i + deep_chunk, idx.size) - i
+            steps = idxp[i:i + n_real]
+            ok = ~fail_b[:n_real]
+            new_rel = jnp.where(
+                ok[:, None], jnp.asarray(pose_b[:n_real]), 0.0
+            )
+            rel = rel.at[jnp.asarray(steps)].set(new_rel)
+            weak[steps] = weak_b[:n_real] | ~ok | dt_big[steps]
+            disc[steps] = ~ok
+            frac[steps] = frac_b[:n_real] | ~ok
+        poses = jnp.concatenate(
+            [zero[None], se2.chain(rel)], axis=0
+        )
+
     f = jnp.asarray(False)
     return OdometryResult(
-        poses=jnp.concatenate([zero[None], poses], axis=0),
+        poses=poses,
         switched=jnp.concatenate([f[None], switched]),
-        discarded=jnp.concatenate([f[None], discarded]),
-        weak=jnp.concatenate([f[None], weak]),
-        fracture=jnp.concatenate([f[None], frac]),
+        discarded=jnp.concatenate([f[None], jnp.asarray(disc)]),
+        weak=jnp.concatenate([f[None], jnp.asarray(weak)]),
+        fracture=jnp.concatenate([f[None], jnp.asarray(frac)]),
     )
 
 

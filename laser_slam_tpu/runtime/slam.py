@@ -257,7 +257,8 @@ def _propose_and_verify(
     # clip, or their true revisits stay out of reach forever.
     uncov = coverage == 0
     pair_uncov = uncov[:, None] | uncov[None, :]
-    rate0 = jnp.asarray(cfg.drift_rate, dtype)
+    if rate0 is None:
+        rate0 = jnp.asarray(cfg.drift_rate, dtype)
     rad0 = drift_radius_matrix(
         a, cfg.loop_radius, rate0, cfg.radius_max_uncov, dtype
     )
@@ -311,6 +312,7 @@ def _propose(
     tried: Array,
     coverage: Array,
     focus_uncov: Array | bool = False,
+    rate0: Array | None = None,
 ):
     """Candidate proposal only (the gating half of
     :func:`_propose_and_verify`): drift-aware pose gate ∪ appearance
@@ -329,7 +331,8 @@ def _propose(
     )
     uncov = coverage == 0
     pair_uncov = uncov[:, None] | uncov[None, :]
-    rate0 = jnp.asarray(cfg.drift_rate, dtype)
+    if rate0 is None:
+        rate0 = jnp.asarray(cfg.drift_rate, dtype)
     rad0 = drift_radius_matrix(
         a, cfg.loop_radius, rate0, cfg.radius_max_uncov, dtype
     )
@@ -365,28 +368,29 @@ def _propose(
 
 def _verify_chunk(
     cfg: SlamConfig,
-    submaps: Submaps,
-    anchor_poses: Array,
-    wide_pts: Array,
-    wide_ok: Array,
-    src: Array,
-    dst: Array,
+    refw_pts: Array,
+    refw_ok: Array,
+    ref_pts: Array,
+    ref_ok: Array,
+    curw_pts: Array,
+    curw_ok: Array,
+    cur_pts: Array,
+    cur_ok: Array,
+    odo_rel: Array,
     valid: Array,
     trust: Array,
 ):
-    """Verify one fixed-size chunk of candidates (one small device
-    program, reused across chunks/rounds/laser models — submap clouds
-    are shape-bucketed by point budget, not beam count)."""
-    from ..graph.loop_closure import LoopCandidates
+    """Verify one fixed-size chunk of candidates with pre-gathered
+    clouds. The compiled shape depends only on the chunk size and the
+    narrow/wide point budgets — not the anchor count or laser beam
+    count — so ONE executable serves every log, laser model, and
+    growing online session."""
+    from ..graph.loop_closure import verify_pairs_correlative
 
-    cand = LoopCandidates(src=src, dst=dst, valid=valid)
-    return verify_loops_correlative(
-        submaps,
-        anchor_poses,
-        cand,
-        cand_radius=trust,
-        wide_pts=wide_pts,
-        wide_ok=wide_ok,
+    return verify_pairs_correlative(
+        refw_pts, refw_ok, ref_pts, ref_ok,
+        curw_pts, curw_ok, cur_pts, cur_ok,
+        odo_rel, valid, cand_radius=trust,
         search_xy=cfg.search_xy,
         search_theta=float(jnp.pi),
         n_theta=cfg.n_theta,
@@ -584,39 +588,48 @@ def run_correlative_rounds(
     # while the per-chunk program is small, compiles in seconds, and is
     # reused across chunks, rounds and logs.
     propose_fn = jax.jit(
-        lambda ap, rate, sg, tr, cov, fu: _propose(
-            cfg, ap, rate, sg, tr, cov, fu
+        lambda ap, rate, sg, tr, cov, fu, r0: _propose(
+            cfg, ap, rate, sg, tr, cov, fu, r0
         )
     )
     chunk_fn = jax.jit(
-        lambda sm, ap, wp, wo, s_, d_, v_, t_: _verify_chunk(
-            cfg, sm, ap, wp, wo, s_, d_, v_, t_
-        )
+        lambda *a: _verify_chunk(cfg, *a)
     )
 
-    def verify_fn(ap, rate, sm, wd, sg, tr, cov, fu=False):
+    def verify_fn(ap, rate, sm, wd, sg, tr, cov, fu=False, r0=None):
         tp = _time.perf_counter()
+        if r0 is None:
+            r0 = rate
         cand, trust, tr_new = propose_fn(
-            ap, rate, sg, tr, cov, jnp.asarray(fu)
+            ap, rate, sg, tr, cov, jnp.asarray(fu), jnp.asarray(r0)
         )
         jax.block_until_ready(cand.src)
         tp = _t("  propose", tp)
+        # Host-side gather of each chunk's clouds keeps the compiled
+        # chunk program independent of the anchor count (the gathers
+        # themselves are tiny device ops).
+        rel_all = se2.relative(ap[cand.src], ap[cand.dst])
         c = cfg.verify_chunk
         n_all = int(cand.src.shape[0])
         outs = []
         for i in range(0, n_all, c):
+            sl = slice(i, i + c)
+            s_, d_ = cand.src[sl], cand.dst[sl]
             outs.append(
                 chunk_fn(
-                    sm, ap, wd[0], wd[1],
-                    cand.src[i:i + c], cand.dst[i:i + c],
-                    cand.valid[i:i + c], trust[i:i + c],
+                    wd[0][s_], wd[1][s_], sm.points[s_], sm.valid[s_],
+                    wd[0][d_], wd[1][d_], sm.points[d_], sm.valid[d_],
+                    rel_all[sl], cand.valid[sl], trust[sl],
                 )
             )
             jax.block_until_ready(outs[-1].accept)
-            tp = _t(f"  chunk {i // c}", tp)
+        tp = _t(f"  verify {n_all // c} chunks", tp)
         loops = jax.tree.map(
             lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
             *outs,
+        )
+        loops = loops._replace(
+            src=np.asarray(cand.src), dst=np.asarray(cand.dst)
         )
         return loops, tr_new
 
@@ -642,8 +655,38 @@ def run_correlative_rounds(
         }
     n_loops = jnp.asarray(0)
     chi = jnp.asarray(0.0, dtype)
+    # Adaptive drift rate: cfg.drift_rate is the prior (measured on
+    # intel-lab, ~0.15 m per anchor step); once the bank holds enough
+    # strict loops, the p90 of their |correction| / gap re-estimates
+    # the log's ACTUAL drift. fr079 drifts ~10× less than intel — with
+    # the intel-tuned rate its trust radii reach 14 m at gap 80, wide
+    # enough to admit perceptually-aliased corridor matches 12-18 m
+    # wrong (30 of 214 strict accepts); the adaptive gate rejects them.
+    rate_hat = float(cfg.drift_rate)
     for r in range(cfg.rounds + cfg.cov_rounds):
         focus = r >= cfg.rounds
+        on_r = bank["act"] & bank["strict"]
+        if on_r.sum() >= 20:
+            odo_np = np.asarray(odo_anchor_poses)
+            orel = np.asarray(
+                se2.relative(
+                    jnp.asarray(odo_np[bank["src"][on_r]]),
+                    jnp.asarray(odo_np[bank["dst"][on_r]]),
+                )
+            )
+            dd = np.asarray(
+                se2.relative(jnp.asarray(orel),
+                             jnp.asarray(bank["rel"][on_r]))
+            )
+            gaps = np.maximum(
+                np.abs(bank["dst"][on_r].astype(np.int64)
+                       - bank["src"][on_r].astype(np.int64)), 1
+            )
+            per_gap = np.linalg.norm(dd[:, :2], axis=-1) / gaps
+            rate_hat = float(
+                np.clip(1.5 * np.percentile(per_gap, 90),
+                        0.02, cfg.drift_rate)
+            )
         # The drift-rate anneals: once a solve has absorbed the
         # loops found so far, pose distances are trustworthy at
         # tighter radii and the budget shifts to nearby pairs.
@@ -651,7 +694,7 @@ def run_correlative_rounds(
         # its full budget on a new slice of the candidate space;
         # accepted loops persist in the bank across rounds.
         rate = jnp.asarray(
-            cfg.drift_rate * (cfg.drift_anneal ** min(r, cfg.rounds - 1)),
+            rate_hat * (cfg.drift_anneal ** min(r, cfg.rounds - 1)),
             dtype,
         )
         # Coverage = loops that bind an anchor to a DISTANT part of the
@@ -686,9 +729,27 @@ def run_correlative_rounds(
         cov = np.zeros(a, np.int32)
         np.add.at(cov, bank["src"][binds], 1)
         np.add.at(cov, bank["dst"][binds], 1)
+        # Adaptive hinges: a fractured edge is freed (HINGE_WEIGHT) only
+        # while the blocks on BOTH sides carry binding loops — a block
+        # with no loops would swing on a free hinge like a pendulum
+        # (measured on fr079: the never-revisited final stretch went
+        # from 3.2 m odometry error to 12 m with −170° heading swings).
+        # Until loops arrive, the fracture keeps corridor-grade weight:
+        # drifted odometry beats no constraint at all.
+        sw_np = np.array(np.asarray(seq_weight))
+        frac_e = sw_np < 2.0 * HINGE_WEIGHT
+        if frac_e.any():
+            n_blocks = int(bid_np.max()) + 1
+            block_cov = np.zeros(n_blocks, np.int64)
+            np.add.at(block_cov, bid_np, cov.astype(np.int64))
+            lo_ok = block_cov[bid_np[np.arange(a - 1)]] >= 2
+            hi_ok = block_cov[bid_np[np.arange(1, a)]] >= 2
+            sw_np[frac_e & ~(lo_ok & hi_ok)] = INFO_WEAK / INFO_ADJ
+        seq_weight_round = jnp.asarray(sw_np, dtype)
         loops, tried = verify_fn(
             anchor_poses, rate, submaps, wide, sig_gate, tried,
             jnp.asarray(cov), focus,
+            r0=jnp.asarray(rate_hat, dtype),
         )
         acc = np.asarray(loops.accept)
         t0 = _t(f"round {r} verify", t0)
@@ -718,7 +779,7 @@ def run_correlative_rounds(
         bank["act"][:] = False
         bank["act"][:n] = True
         anchor_poses, n_loops, chi = solve_fn(
-            anchor_poses, odo_anchor_poses, rel_seq, seq_weight,
+            anchor_poses, odo_anchor_poses, rel_seq, seq_weight_round,
             jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
             jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),
             jnp.asarray(bank["act"]), jnp.asarray(bank["strict"]),
@@ -734,6 +795,7 @@ def slam_offline(
     ranges: Array,
     cfg: SlamConfig = SlamConfig(),
     diag: dict | None = None,
+    timestamps=None,
 ) -> SlamResult:
     """End-to-end SLAM over a ``[T, N]`` range log.
 
@@ -742,11 +804,9 @@ def slam_offline(
     ``cfg.rounds`` times with updated poses (same shapes → cached
     executable), keeping XLA program size independent of round count.
     """
-    front = jax.jit(
-        lambda r: _frontend(model, cfg, r), static_argnums=()
-    )
+    # _frontend is host-orchestrated (two-pass odometry) — no outer jit.
     (scans, odo_poses, anchor_idx, anchor_scans, anchor_poses, rel_seq,
-     seq_weight, block_id) = front(ranges)
+     seq_weight, block_id) = _frontend(model, cfg, ranges, timestamps)
 
     submaps = None
     if cfg.use_submaps or cfg.use_correlative:
@@ -804,13 +864,23 @@ def slam_offline(
     )
 
 
-def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array):
-    scans = preprocess(ranges, model)
-    odo = odometry_keyframe(model, scans)
-    t = ranges.shape[0]
+def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array,
+              timestamps=None):
+    """Preprocess + two-pass odometry + anchor/edge derivation. Host-
+    orchestrated (odometry_keyframe re-matches flagged steps in separate
+    small programs) — callers must NOT wrap this in jit."""
+    scans = jax.jit(lambda r: preprocess(r, model))(ranges)
+    odo = odometry_keyframe(model, scans, timestamps=timestamps)
+    return (scans,) + _frontend_post(
+        cfg, scans, odo.poses, odo.weak, odo.fracture
+    )
+
+
+def _frontend_post(cfg, scans, poses, weak, fracture):
+    t = scans.ranges.shape[0]
     anchor_idx = jnp.arange(0, t - (t % cfg.anchor_stride), cfg.anchor_stride)
     anchor_scans = jax.tree.map(lambda x: x[anchor_idx], scans)
-    anchor_poses = odo.poses[anchor_idx]
+    anchor_poses = poses[anchor_idx]
     rel_seq = se2.relative(anchor_poses[:-1], anchor_poses[1:])
     # An anchor interval containing any weak odometry step gets the
     # reference's corridor-grade information (INFO_WEAK vs INFO_ADJ).
@@ -821,7 +891,7 @@ def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array):
         (jnp.arange(t) - 1) // cfg.anchor_stride, 0, k - 2
     )
     weak_per_edge = jax.ops.segment_sum(
-        odo.weak.astype(jnp.int32), edge_of_step, num_segments=k - 1
+        weak.astype(jnp.int32), edge_of_step, num_segments=k - 1
     )
     # Fractured steps (unrecoverable matches — see OdometryResult) make
     # the spanning anchor edge a near-free hinge: its measured relative
@@ -829,7 +899,7 @@ def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array):
     # non-negligible information there fights the loop closures that are
     # the only way to place the blocks on either side.
     frac_per_edge = jax.ops.segment_sum(
-        odo.fracture.astype(jnp.int32), edge_of_step, num_segments=k - 1
+        fracture.astype(jnp.int32), edge_of_step, num_segments=k - 1
     )
     seq_weight = jnp.where(
         frac_per_edge > 0,
@@ -842,7 +912,7 @@ def _frontend(model: LaserModel, cfg: SlamConfig, ranges: Array):
         [jnp.zeros(1, jnp.int32),
          jnp.cumsum((frac_per_edge > 0).astype(jnp.int32))]
     )
-    return (scans, odo.poses, anchor_idx, anchor_scans, anchor_poses,
+    return (poses, anchor_idx, anchor_scans, anchor_poses,
             rel_seq, seq_weight, block_id)
 
 

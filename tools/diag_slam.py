@@ -42,7 +42,8 @@ def main() -> None:
 
     d: dict = {}
     t0 = time.time()
-    res = slam_offline(log.model, jnp.asarray(log.ranges), cfg, diag=d)
+    res = slam_offline(log.model, jnp.asarray(log.ranges), cfg, diag=d,
+                       timestamps=log.timestamps)
     wall = time.time() - t0
 
     gt = np.asarray(log.gt_pose)
