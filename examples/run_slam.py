@@ -25,11 +25,12 @@ from laser_slam_tpu.viz.render import render_map_png
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("log", nargs="?", default="/root/reference/data/intel-lab.log")
+    dflt = SlamConfig()
     ap.add_argument("--scans", type=int, default=None)
-    ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--stride", type=int, default=10)
-    ap.add_argument("--radius", type=float, default=2.0)
-    ap.add_argument("--max-loops", type=int, default=512)
+    ap.add_argument("--rounds", type=int, default=dflt.rounds)
+    ap.add_argument("--stride", type=int, default=dflt.anchor_stride)
+    ap.add_argument("--radius", type=float, default=dflt.loop_radius)
+    ap.add_argument("--max-loops", type=int, default=dflt.max_loops)
     ap.add_argument(
         "--submaps", action="store_true",
         help="verify loops submap-vs-submap (MapNode hierarchy)",
@@ -49,7 +50,10 @@ def main():
     print(f"{log.n_scans} scans x {model.n_beams} beams; cfg={cfg}")
 
     t0 = time.time()
-    res = jax.block_until_ready(slam_offline(model, jnp.asarray(log.ranges), cfg))
+    res = jax.block_until_ready(
+        slam_offline(model, jnp.asarray(log.ranges), cfg,
+                     timestamps=log.timestamps)
+    )
     print(f"slam_offline: {time.time() - t0:.2f}s (incl. compile)")
     print(f"loops accepted: {int(res.n_loops)}, chi2: {float(res.chi2):.2f}")
 

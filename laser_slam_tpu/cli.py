@@ -33,9 +33,15 @@ def cmd_odometry(args):
 
     log = _load(args.log, args.scans)
     scans = preprocess(jnp.asarray(log.ranges), log.model)
-    run = odometry_pairwise if args.pairwise else odometry_keyframe
     t0 = time.time()
-    res = jax.block_until_ready(run(log.model, scans))
+    if args.pairwise:
+        res = jax.block_until_ready(odometry_pairwise(log.model, scans))
+    else:
+        # Timestamps drive frame-drop fracture detection (dt-gap
+        # corroboration); CARMEN logs carry them.
+        res = jax.block_until_ready(
+            odometry_keyframe(log.model, scans, timestamps=log.timestamps)
+        )
     dt = time.time() - t0
     est = np.asarray(res.poses)
     print(f"{log.n_scans} scans in {dt:.2f}s (incl. compile)")
@@ -62,7 +68,8 @@ def cmd_slam(args):
     )
     t0 = time.time()
     res = jax.block_until_ready(
-        slam_offline(log.model, jnp.asarray(log.ranges), cfg)
+        slam_offline(log.model, jnp.asarray(log.ranges), cfg,
+                     timestamps=log.timestamps)
     )
     print(
         f"{log.n_scans} scans in {time.time()-t0:.1f}s; "

@@ -131,3 +131,52 @@ def chain(rel_poses: Array, init: Array | None = None) -> Array:
     if init is not None:
         out = compose(init, out)
     return out
+
+
+# -- NumPy mirrors ---------------------------------------------------------
+# Host-side orchestration (bank bookkeeping, drift estimation, coverage)
+# runs on small arrays every backend round; routing those through jnp on
+# a REMOTE accelerator (axon tunnel) costs a synchronous transfer+fetch
+# per call — measured ~14 s/round of pure dispatch latency on intel-lab.
+# These mirrors keep the math on the host.
+
+def np_normalize_angle(a):
+    """NumPy mirror of :func:`normalize_angle`."""
+    import numpy as np
+
+    return np.mod(a + np.pi, 2.0 * np.pi) - np.pi
+
+
+def np_relative(a, b):
+    """NumPy mirror of :func:`relative`: pose of ``b`` in ``a``'s frame."""
+    import numpy as np
+
+    ax, ay, ath = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bth = b[..., 0], b[..., 1], b[..., 2]
+    c, s = np.cos(ath), np.sin(ath)
+    dx, dy = bx - ax, by - ay
+    return np.stack(
+        [
+            c * dx + s * dy,
+            -s * dx + c * dy,
+            np_normalize_angle(bth - ath),
+        ],
+        axis=-1,
+    )
+
+
+def np_compose(a, b):
+    """NumPy mirror of :func:`compose`."""
+    import numpy as np
+
+    ax, ay, ath = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bth = b[..., 0], b[..., 1], b[..., 2]
+    c, s = np.cos(ath), np.sin(ath)
+    return np.stack(
+        [
+            ax + c * bx - s * by,
+            ay + s * bx + c * by,
+            np_normalize_angle(ath + bth),
+        ],
+        axis=-1,
+    )

@@ -104,9 +104,19 @@ def _step(model: LaserModel, carry: _OdoCarry, cur: Scan,
             ex3, ey3, _ = error_index(model, carry.last, cur, corr.pose)
             err3 = jnp.sqrt(ex3 + ey3)
             weak = (corr.score < 0.4) | (err3 > 3.0 * KEYFRAME_ERR_THRESH)
-            # Fracture: even the exhaustive matcher is unconfident — the
-            # pair is rotationally smeared beyond recovery.
-            frac = (corr.score < 0.35) | (err3 > 6.0 * KEYFRAME_ERR_THRESH)
+            # Fracture needs corroboration, same rule as the batched
+            # offline path (_deep_rematch_chunk): a low-confidence
+            # exhaustive match alone over-fires on legitimate
+            # low-overlap corridor steps (8 false hinges on fr079);
+            # require the banded estimate to *disagree* too.
+            low_conf = (corr.score < 0.35) | (
+                err3 > 6.0 * KEYFRAME_ERR_THRESH
+            )
+            d = se2.relative(res2.pose, corr.pose)
+            disagree = (jnp.linalg.norm(d[:2]) > 0.5) | (
+                jnp.abs(se2.normalize_angle(d[2])) > 0.3
+            )
+            frac = low_conf & disagree
             return corr.pose, corr.fail, weak, frac
 
         def keep_psm(_):
@@ -216,11 +226,15 @@ def odometry_keyframe(
     ``timestamps [T]`` (optional) drives frame-drop fracture detection:
     intel-lab's catastrophic heading breaks (scans 119-121, 393-394 —
     the robot whips 120-210° between frames) are exactly the steps
-    whose inter-scan dt is 12× the median. Across such a gap BOTH
-    matchers can confidently agree on a wrong pose (measured: the full
-    ±π correlative scores 0.70 for a pose 79° off GT at scan 119→120),
-    so a deep-flagged step spanning dt > 8× median is marked fractured
-    regardless of matcher confidence.
+    whose inter-scan dt is 12× the median. A dt > 8× median marks the
+    step *weak* unconditionally, and inside the deep re-match it counts
+    as the corroborating anomaly: a deep-flagged step is fractured when
+    the exhaustive matcher is low-confidence AND (the banded estimate
+    disagrees OR the dt gap is big) — see ``_deep_rematch_chunk``.
+    Neither signal alone fractures: a confident-but-wrong exhaustive
+    match across a dt gap (scan 119→120 scores 0.70 at 79° off GT)
+    stays weak, which the validated intel-lab runs tolerate because the
+    surrounding loops place the blocks.
     """
     import numpy as np
 

@@ -1,0 +1,179 @@
+"""Shared incremental loop-closure backend.
+
+One component drives the init-free correlative backend for every online
+topology — the in-process facade (:class:`.online.OnlineSlam`), the
+TCP-distributed server (:class:`.tcp_slam.Backend`), and the loopback
+fold — the way the reference compiles the SAME ``CServerBackend`` →
+``ThreadMapNode``/``ThreadG2OTcp`` classes into its in-process, TCP, and
+oneThread topologies (src/tcp_slam/serverBackend.h:19-72,
+src/oneThread/main.cpp).
+
+State that persists across rounds: per-anchor-group submap clouds, the
+verified-loop bank, and the tried-pair matrix. Anchors live in
+power-of-two capacity buckets so each compiled program shape is reused
+as the session grows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se2
+from ..core.scan import LaserModel, Scan
+from .slam import HINGE_WEIGHT, SlamConfig, run_correlative_rounds
+
+
+class IncrementalBackend:
+    """Incremental correlative loop closure + robust solve.
+
+    Stateless w.r.t. the caller's per-scan records: each :meth:`round`
+    receives the session-so-far (scans, poses, raw odometry chain,
+    weak/fracture flags) and returns the rebased per-scan trajectory, or
+    ``None`` when fewer than 8 anchor groups are complete. Submap
+    reductions, the loop bank, and the tried matrix persist here.
+    """
+
+    MIN_GROUPS = 8
+
+    def __init__(self, model: LaserModel, cfg: SlamConfig = SlamConfig()):
+        self.model = model
+        self.cfg = cfg
+        self._group_pts: list[np.ndarray] = []  # per-anchor submap clouds
+        self._group_ok: list[np.ndarray] = []
+        self._bank = None
+        self._tried: np.ndarray | None = None
+        self._reduce_fn = None
+        self.n_loops = 0
+
+    # -- submap reduction ------------------------------------------------
+
+    def _build_group_submaps(self, all_scans, odo_chain, t: int) -> None:
+        """Reduce each completed anchor group of ``stride`` scans into a
+        fixed-budget submap cloud (CMapNode reduction,
+        MapNode.cpp:473-566) — one small jitted program per group shape,
+        reused for the whole session."""
+        from ..graph.submap import reduce_group
+
+        stride = self.cfg.anchor_stride
+        n_ready = t // stride
+        if self._reduce_fn is None:
+            model = self.model
+            pbudget = self.cfg.submap_points
+
+            def build(scans_g: Scan, rel_g):
+                fi = model.bearings(scans_g.ranges.dtype)
+                pts = jnp.stack(
+                    [scans_g.ranges * jnp.cos(fi),
+                     scans_g.ranges * jnp.sin(fi)], axis=-1
+                )
+                ok = (
+                    ~scans_g.bad
+                    & (scans_g.ranges < model.max_range)
+                    & (scans_g.ranges > model.min_range)
+                )
+                return reduce_group(pts, ok, rel_g, pbudget)
+
+            self._reduce_fn = jax.jit(build)
+        while len(self._group_pts) < n_ready:
+            g = len(self._group_pts)
+            lo = g * stride
+            scans_g = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *all_scans[lo:lo + stride]
+            )
+            odo = jnp.asarray(np.stack(odo_chain[lo:lo + stride]))
+            rel_g = se2.relative(odo[:1], odo)
+            pts, ok = self._reduce_fn(scans_g, rel_g)
+            self._group_pts.append(np.asarray(pts))
+            self._group_ok.append(np.asarray(ok))
+
+    # -- one backend round -----------------------------------------------
+
+    def round(
+        self,
+        all_scans: list[Scan],
+        poses: list[np.ndarray],
+        odo_chain: list[np.ndarray],
+        weak: list[bool],
+        fracture: list[bool],
+    ) -> np.ndarray | None:
+        """Run one correlative backend round over the session so far.
+
+        Returns the rebased per-scan trajectory ``[T, 3]`` (the
+        synFromGlobal back-edge, threadLocal1.cpp:326-359), or ``None``
+        if not enough anchor groups are complete yet."""
+        from ..graph.submap import Submaps
+
+        stride = self.cfg.anchor_stride
+        t = len(all_scans)
+        self._build_group_submaps(all_scans, odo_chain, t)
+        n = len(self._group_pts)
+        if n < self.MIN_GROUPS:
+            return None
+        cap = 64
+        while cap < n:
+            cap *= 2
+        p = self.cfg.submap_points
+        pts = np.zeros((cap, p, 2), np.float32)
+        okm = np.zeros((cap, p), bool)
+        pts[:n] = np.stack(self._group_pts)
+        okm[:n] = np.stack(self._group_ok)
+        submaps = Submaps(
+            points=jnp.asarray(pts), valid=jnp.asarray(okm),
+            anchor_idx=jnp.arange(cap, dtype=jnp.int32) * stride,
+        )
+
+        ap = np.zeros((cap, 3), np.float32)
+        oa = np.zeros((cap, 3), np.float32)
+        for i in range(n):
+            ap[i] = poses[i * stride]
+            oa[i] = odo_chain[i * stride]
+        oaj = jnp.asarray(oa)
+        rel_seq = np.zeros((cap - 1, 3), np.float32)
+        rel_seq[:n - 1] = np.asarray(se2.relative(oaj[:n - 1], oaj[1:n]))
+
+        seq_w = np.zeros(cap - 1, np.float32)   # 0 ⇒ inactive edge
+        block = np.zeros(cap, np.int32)
+        b = 0
+        for e in range(n - 1):
+            lo, hi = e * stride + 1, min((e + 1) * stride + 1, len(weak))
+            frac = any(fracture[lo:hi])
+            wk = any(weak[lo:hi])
+            seq_w[e] = (
+                HINGE_WEIGHT if frac
+                else (self.cfg.weak_seq_weight if wk else 1.0)
+            )
+            if frac:
+                b += 1
+            block[e + 1] = b
+        block[n:] = b
+
+        tried = np.ones((cap, cap), bool)       # inactive ⇒ never proposed
+        tried[:n, :n] = False
+        if self._tried is not None:
+            m = self._tried.shape[0]
+            tried[:m, :m] = self._tried
+
+        cfg_r = dataclasses.replace(self.cfg, rounds=1, cov_rounds=0)
+        ap_new, n_loops, _chi, bank, tried_j = run_correlative_rounds(
+            cfg_r, submaps, jnp.asarray(ap), jnp.asarray(rel_seq),
+            jnp.asarray(seq_w), bank=self._bank, tried=jnp.asarray(tried),
+            odo_anchor_poses=oaj, block_id=jnp.asarray(block),
+        )
+        self._bank = bank
+        self._tried = np.asarray(tried_j)[:n, :n]
+        self.n_loops = int(n_loops)
+        new_anchor_poses = np.asarray(ap_new)[:n]
+
+        # Rebase all per-scan poses onto the optimized anchors; offsets
+        # come from the OLD anchor poses, batched in one device call.
+        old = jnp.asarray(np.stack(poses))
+        t_all = np.arange(old.shape[0])
+        seg = np.minimum(t_all // stride, n - 1)
+        rel = se2.relative(old[seg * stride], old)
+        return np.asarray(
+            se2.compose(jnp.asarray(new_anchor_poses)[seg], rel)
+        )

@@ -27,13 +27,7 @@ from ..core.scan import LaserModel, Scan
 from ..fusion import ukf
 from ..ops.odometry import _OdoCarry, _step
 from ..ops.preprocess import preprocess
-from ..runtime.slam import (
-    HINGE_WEIGHT,
-    INFO_ADJ,
-    INFO_WEAK,
-    SlamConfig,
-    run_correlative_rounds,
-)
+from ..runtime.slam import SlamConfig
 
 
 @dataclasses.dataclass
@@ -68,13 +62,11 @@ class OnlineSlam:
         # for the correlative backend, like slam_offline's
         # odo_anchor_poses.
         self._odo_chain: list[np.ndarray] = []
-        # Correlative-backend session state (bank/tried persist across
-        # backend rounds; tried is stored over the active anchor range).
-        self._bank = None
-        self._tried = None
-        self._group_pts: list[np.ndarray] = []   # per-anchor submap clouds
-        self._group_ok: list[np.ndarray] = []
-        self._reduce_fn = None
+        # Correlative-backend session state (submap clouds, loop bank,
+        # tried-pair matrix) lives in the shared incremental backend.
+        from .backend import IncrementalBackend
+
+        self._backend = IncrementalBackend(self.model, self.cfg)
         self._t = 0
         self._fusion = ukf.init(jnp.zeros(3), 0.01) if self.use_fusion else None
         self._imap = None
@@ -325,50 +317,14 @@ class OnlineSlam:
             self._all_scans = []
         self._all_scans.append(scan)
 
-    def _build_group_submaps(self) -> None:
-        """Reduce each completed anchor group of ``stride`` scans into a
-        fixed-budget submap cloud (CMapNode reduction, MapNode.cpp:473-
-        566) — one small jitted program per group, reused for the whole
-        session."""
-        from ..graph.submap import reduce_group
-
-        stride = self.cfg.anchor_stride
-        n_ready = self._t // stride
-        if self._reduce_fn is None:
-            model = self.model
-            pbudget = self.cfg.submap_points
-
-            def build(scans_g: Scan, rel_g):
-                fi = model.bearings(scans_g.ranges.dtype)
-                pts = jnp.stack(
-                    [scans_g.ranges * jnp.cos(fi),
-                     scans_g.ranges * jnp.sin(fi)], axis=-1
-                )
-                ok = (
-                    ~scans_g.bad
-                    & (scans_g.ranges < model.max_range)
-                    & (scans_g.ranges > model.min_range)
-                )
-                return reduce_group(pts, ok, rel_g, pbudget)
-
-            self._reduce_fn = jax.jit(build)
-        while len(self._group_pts) < n_ready:
-            g = len(self._group_pts)
-            lo = g * stride
-            scans_g = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *self._all_scans[lo:lo + stride]
-            )
-            odo = jnp.asarray(np.stack(self._odo_chain[lo:lo + stride]))
-            rel_g = se2.relative(odo[:1], odo)
-            pts, ok = self._reduce_fn(scans_g, rel_g)
-            self._group_pts.append(np.asarray(pts))
-            self._group_ok.append(np.asarray(ok))
-
     def _backend_round(self) -> None:
         """Init-free correlative loop closure + robust solve over the
         session so far — the SAME machinery as ``slam_offline``
-        (run_correlative_rounds), driven incrementally: the loop bank
-        and the tried-pair matrix persist across rounds, anchors live in
+        (run_correlative_rounds), driven incrementally through the
+        shared :class:`..runtime.backend.IncrementalBackend` (also the
+        TCP server's backend, matching the reference's one-backend-all-
+        topologies structure, serverBackend.h:19-72): the loop bank and
+        the tried-pair matrix persist across rounds, anchors live in
         power-of-two capacity buckets so compiled programs are reused as
         the session grows, and each round spends its candidate budget on
         pairs not yet verified. This replaces the round-1 ICP-only
@@ -376,82 +332,13 @@ class OnlineSlam:
         drift-sized loops); the reference's counterpart is the full loop
         search on every submap insert (threadGlobal1.cpp:62-128 →
         addMapNodeCov, MapGraph.cpp:1272-1484)."""
-        import dataclasses
-
-        from ..graph.submap import Submaps
-
-        stride = self.cfg.anchor_stride
-        self._build_group_submaps()
-        n = len(self._group_pts)
-        if n < 8:
+        rebased = self._backend.round(
+            self._all_scans, self._poses, self._odo_chain,
+            self._weak, self._fracture,
+        )
+        if rebased is None:
             return
-        cap = 64
-        while cap < n:
-            cap *= 2
-        p = self.cfg.submap_points
-        pts = np.zeros((cap, p, 2), np.float32)
-        okm = np.zeros((cap, p), bool)
-        pts[:n] = np.stack(self._group_pts)
-        okm[:n] = np.stack(self._group_ok)
-        submaps = Submaps(
-            points=jnp.asarray(pts), valid=jnp.asarray(okm),
-            anchor_idx=jnp.arange(cap, dtype=jnp.int32) * stride,
-        )
-
-        ap = np.zeros((cap, 3), np.float32)
-        oa = np.zeros((cap, 3), np.float32)
-        for i in range(n):
-            ap[i] = self._poses[i * stride]
-            oa[i] = self._odo_chain[i * stride]
-        oaj = jnp.asarray(oa)
-        rel_seq = np.zeros((cap - 1, 3), np.float32)
-        rel_seq[:n - 1] = np.asarray(se2.relative(oaj[:n - 1], oaj[1:n]))
-
-        seq_w = np.zeros(cap - 1, np.float32)   # 0 ⇒ inactive edge
-        block = np.zeros(cap, np.int32)
-        b = 0
-        for e in range(n - 1):
-            lo, hi = e * stride + 1, min((e + 1) * stride + 1,
-                                         len(self._weak))
-            frac = any(self._fracture[lo:hi])
-            wk = any(self._weak[lo:hi])
-            seq_w[e] = (
-                HINGE_WEIGHT if frac
-                else (INFO_WEAK / INFO_ADJ if wk else 1.0)
-            )
-            if frac:
-                b += 1
-            block[e + 1] = b
-        block[n:] = b
-
-        tried = np.ones((cap, cap), bool)       # inactive ⇒ never proposed
-        tried[:n, :n] = False
-        if self._tried is not None:
-            m = self._tried.shape[0]
-            tried[:m, :m] = self._tried
-
-        cfg_r = dataclasses.replace(self.cfg, rounds=1, cov_rounds=0)
-        ap_new, n_loops, _chi, bank, tried_j = run_correlative_rounds(
-            cfg_r, submaps, jnp.asarray(ap), jnp.asarray(rel_seq),
-            jnp.asarray(seq_w), bank=self._bank, tried=jnp.asarray(tried),
-            odo_anchor_poses=oaj, block_id=jnp.asarray(block),
-        )
-        self._bank = bank
-        self._tried = np.asarray(tried_j)[:n, :n]
-        self.n_loops = int(n_loops)
-        new_anchor_poses = np.asarray(ap_new)[:n]
-
-        # Rebase all per-scan poses onto the optimized anchors — the
-        # reference's synFromGlobal back-edge (threadLocal1.cpp:326-359).
-        # Snapshot first: the relative offsets must come from the OLD
-        # anchor poses, batched in one device call.
-        old = jnp.asarray(np.stack(self._poses))
-        t_all = np.arange(old.shape[0])
-        seg = np.minimum(t_all // stride, n - 1)
-        rel = se2.relative(old[seg * stride], old)
-        rebased = np.asarray(
-            se2.compose(jnp.asarray(new_anchor_poses)[seg], rel)
-        )
+        self.n_loops = self._backend.n_loops
         self._poses = [rebased[t] for t in range(rebased.shape[0])]
         # Rebuild the live map only when the optimization actually moved
         # poses (bigChange gate) — per-scan map cost stays O(1).

@@ -34,7 +34,6 @@ from ..graph.loop_closure import (
     select_candidates,
     submap_bboxes,
     verify_loops,
-    verify_loops_correlative,
 )
 from ..graph.place_recognition import signature_gate, submap_signatures
 from ..graph.submap import (
@@ -127,6 +126,23 @@ class SlamConfig:
     cov_rounds: int = 2            # trailing coverage-focused waves:
     #                                the whole candidate budget goes to
     #                                pairs touching zero-coverage anchors
+    weak_seq_weight: float = 1.0   # seq-edge weight factor on "weak"
+    #                                (low-overlap deep-fallback) steps.
+    #                                r3 used the reference's corridor
+    #                                value (INFO_WEAK/INFO_ADJ = 0.01) —
+    #                                measured to be the mechanism that
+    #                                bent fr079 and mit-cscail: the weak
+    #                                flag fires on ~half of all edges
+    #                                (68/145 fr079, 35/104 mit) whose
+    #                                actual odometry error is identical
+    #                                to normal edges (median 0.065 vs
+    #                                0.062 m on fr079), and the 100×
+    #                                softer chain lets aliased loops
+    #                                fold it. Replay on the r3 banks
+    #                                (tools/exp/weak_edge_ablate.py):
+    #                                fr079 5.85→0.25, mit 2.66→1.30,
+    #                                intel 0.84→0.86. Fractured edges
+    #                                keep the true hinge weight.
     use_censi_info: bool = False   # per-loop information from the polish
     #                                ICP's Censi covariance (normalized so
     #                                the median loop keeps INFO_LOOP),
@@ -216,92 +232,6 @@ def _loop_round(
     )
     g_opt, chi = optimize(g, cfg.gn_iters)
     return g_opt.poses, jnp.sum(keep), chi
-
-
-def _propose_and_verify(
-    cfg: SlamConfig,
-    anchor_poses: Array,
-    rate: Array,
-    submaps: Submaps,
-    wide: tuple[Array, Array],
-    sig_gate: Array,
-    tried: Array,
-    coverage: Array,
-):
-    """One proposal+verification wave: drift-aware pose gate ∪ appearance
-    gate, minus already-tried pairs → identity-centered correlative
-    verification. Returns the verified loops and the pair mask to add to
-    ``tried``. ``coverage [A]`` counts bank loops touching each anchor;
-    pairs that would bind an uncovered anchor are verified first.
-
-    This is the TPU form of the reference's addMapNodeCov loop search
-    (MapGraph.cpp:1272-1484) with its two blind spots fixed: candidates
-    are proposed even where the odometry estimate is useless, and
-    verification needs no initial guess (identity-centered exhaustive
-    search), so drift-sized loops close instead of being silently
-    unreachable. Each wave gets a fresh slice of the candidate space —
-    the ``tried`` exclusion spends the fixed verification budget on new
-    pairs every round while accepted loops accumulate in the caller's
-    bank.
-    """
-    a = anchor_poses.shape[0]
-    dtype = anchor_poses.dtype
-    centers = anchor_poses[:, :2]
-
-    rad = drift_radius_matrix(
-        a, cfg.loop_radius, rate, cfg.radius_max, dtype
-    )
-    # Escalation for uncovered anchors: their spans were never corrected
-    # by a solve, so their pose distances still carry the *full* initial
-    # odometry drift — gate them with the un-annealed rate and a wider
-    # clip, or their true revisits stay out of reach forever.
-    uncov = coverage == 0
-    pair_uncov = uncov[:, None] | uncov[None, :]
-    if rate0 is None:
-        rate0 = jnp.asarray(cfg.drift_rate, dtype)
-    rad0 = drift_radius_matrix(
-        a, cfg.loop_radius, rate0, cfg.radius_max_uncov, dtype
-    )
-    rad = jnp.where(pair_uncov, jnp.maximum(rad, rad0), rad)
-    pose_gate = gate_matrix(
-        centers, radius=rad, min_gap=5, overlap_min=None
-    )
-    gate = (pose_gate | sig_gate) & ~tried
-    boost = 0.5 * pair_uncov.astype(dtype)
-    cand = select_candidates(
-        gate, centers, cfg.max_loops, radius=rad, per_dst=cfg.per_dst,
-        boost=boost,
-    )
-
-    # Trust radius for acceptance: the *unclipped* drift model — at
-    # large gaps odometry carries no information and the geometric
-    # verification gates alone must decide. Pairs touching uncovered
-    # anchors keep the un-annealed rate here too.
-    gap = jnp.abs(cand.dst - cand.src).astype(dtype)
-    cand_uncov = uncov[cand.src] | uncov[cand.dst]
-    trust_rate = jnp.where(cand_uncov, rate0, rate)
-    trust = cfg.loop_radius + trust_rate * gap
-
-    loops = verify_loops_correlative(
-        submaps,
-        anchor_poses,
-        cand,
-        cand_radius=trust,
-        wide_pts=wide[0],
-        wide_ok=wide[1],
-        search_xy=cfg.search_xy,
-        search_theta=float(jnp.pi),
-        n_theta=cfg.n_theta,
-        coarse_res=cfg.coarse_res,
-        n_peaks=cfg.n_peaks,
-        chunk=cfg.verify_chunk,
-        quality_min=cfg.min_quality,
-        identity_init=True,
-    )
-    tried_new = tried.at[cand.src, cand.dst].set(
-        tried[cand.src, cand.dst] | cand.valid
-    )
-    return loops, tried_new
 
 
 def _propose(
@@ -548,14 +478,20 @@ def run_correlative_rounds(
 
     Returns ``(anchor_poses, n_loops, chi, bank, tried)``.
     """
+    import os
     import sys
     import time as _time
 
     import numpy as np
 
+    # Per-stage timing goes to stderr only when explicitly requested
+    # (diag tooling sets LASER_SLAM_TIMING=1); silent as a library.
+    _verbose = bool(os.environ.get("LASER_SLAM_TIMING"))
+
     def _t(msg, t0):
-        print(f"[slam] {msg}: {_time.perf_counter() - t0:.1f}s",
-              file=sys.stderr, flush=True)
+        if _verbose:
+            print(f"[slam] {msg}: {_time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         return _time.perf_counter()
 
     dtype = anchor_poses.dtype
@@ -622,15 +558,18 @@ def run_correlative_rounds(
                     rel_all[sl], cand.valid[sl], trust[sl],
                 )
             )
-            jax.block_until_ready(outs[-1].accept)
+        # One bulk fetch of every chunk's outputs: per-chunk np.asarray
+        # costs a synchronous tunnel round-trip per field per chunk
+        # (~9 s/round measured on the remote TPU service); device_get
+        # batches the whole pytree after the async dispatches queue.
+        outs, src_np, dst_np = jax.device_get(
+            (outs, cand.src, cand.dst)
+        )
         tp = _t(f"  verify {n_all // c} chunks", tp)
         loops = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
-            *outs,
+            lambda *xs: np.concatenate(xs), *outs
         )
-        loops = loops._replace(
-            src=np.asarray(cand.src), dst=np.asarray(cand.dst)
-        )
+        loops = loops._replace(src=src_np, dst=dst_np)
         return loops, tr_new
 
     solve_fn = jax.jit(
@@ -663,21 +602,16 @@ def run_correlative_rounds(
     # enough to admit perceptually-aliased corridor matches 12-18 m
     # wrong (30 of 214 strict accepts); the adaptive gate rejects them.
     rate_hat = float(cfg.drift_rate)
+    odo_np = np.asarray(odo_anchor_poses)
+    bid_np = np.asarray(block_id)
     for r in range(cfg.rounds + cfg.cov_rounds):
         focus = r >= cfg.rounds
         on_r = bank["act"] & bank["strict"]
         if on_r.sum() >= 20:
-            odo_np = np.asarray(odo_anchor_poses)
-            orel = np.asarray(
-                se2.relative(
-                    jnp.asarray(odo_np[bank["src"][on_r]]),
-                    jnp.asarray(odo_np[bank["dst"][on_r]]),
-                )
+            orel = se2.np_relative(
+                odo_np[bank["src"][on_r]], odo_np[bank["dst"][on_r]]
             )
-            dd = np.asarray(
-                se2.relative(jnp.asarray(orel),
-                             jnp.asarray(bank["rel"][on_r]))
-            )
+            dd = se2.np_relative(orel, bank["rel"][on_r])
             gaps = np.maximum(
                 np.abs(bank["dst"][on_r].astype(np.int64)
                        - bank["src"][on_r].astype(np.int64)), 1
@@ -705,21 +639,13 @@ def run_correlative_rounds(
         # must not mark it covered — both failure modes shrank the
         # search gates of exactly the anchors that most needed wide ones
         # (intel-lab anchors 13-39 sat 15 m / 90° off with cov 1-3).
-        bid_np = np.asarray(block_id)
         ap_np = np.asarray(anchor_poses)
         on = bank["act"] & bank["strict"]
         gapb = np.abs(
             bank["dst"].astype(np.int64) - bank["src"].astype(np.int64)
         )
-        pred = np.asarray(
-            se2.relative(
-                jnp.asarray(ap_np[bank["src"]]),
-                jnp.asarray(ap_np[bank["dst"]]),
-            )
-        )
-        resid = np.asarray(
-            se2.relative(jnp.asarray(bank["rel"]), jnp.asarray(pred))
-        )
+        pred = se2.np_relative(ap_np[bank["src"]], ap_np[bank["dst"]])
+        resid = se2.np_relative(bank["rel"], pred)
         consistent = (
             np.linalg.norm(resid[:, :2], axis=-1) < 1.0
         ) & (np.abs((resid[:, 2] + np.pi) % (2 * np.pi) - np.pi) < 0.3)
@@ -737,7 +663,10 @@ def run_correlative_rounds(
         # Until loops arrive, the fracture keeps corridor-grade weight:
         # drifted odometry beats no constraint at all.
         sw_np = np.array(np.asarray(seq_weight))
-        frac_e = sw_np < 2.0 * HINGE_WEIGHT
+        # Exact-zero weights are the online backend's inactive padding
+        # edges (seq_w=0 by convention) — not hinges; re-activating them
+        # would chain dummy anchors to real ones (ADVICE r3).
+        frac_e = (sw_np > 0) & (sw_np < 2.0 * HINGE_WEIGHT)
         if frac_e.any():
             n_blocks = int(bid_np.max()) + 1
             block_cov = np.zeros(n_blocks, np.int64)
@@ -746,6 +675,7 @@ def run_correlative_rounds(
             hi_ok = block_cov[bid_np[np.arange(1, a)]] >= 2
             sw_np[frac_e & ~(lo_ok & hi_ok)] = INFO_WEAK / INFO_ADJ
         seq_weight_round = jnp.asarray(sw_np, dtype)
+        t0 = _t(f"round {r} host bookkeeping", t0)
         loops, tried = verify_fn(
             anchor_poses, rate, submaps, wide, sig_gate, tried,
             jnp.asarray(cov), focus,
@@ -901,10 +831,14 @@ def _frontend_post(cfg, scans, poses, weak, fracture):
     frac_per_edge = jax.ops.segment_sum(
         fracture.astype(jnp.int32), edge_of_step, num_segments=k - 1
     )
+    # Weak (low-overlap) steps keep near-full weight by default: the
+    # weak flag measures matcher difficulty, not odometry error, and
+    # softening those edges was what let wrong loops bend fr079/mit
+    # (see SlamConfig.weak_seq_weight). Only true fractures hinge.
     seq_weight = jnp.where(
         frac_per_edge > 0,
         HINGE_WEIGHT,
-        jnp.where(weak_per_edge > 0, INFO_WEAK / INFO_ADJ, 1.0),
+        jnp.where(weak_per_edge > 0, cfg.weak_seq_weight, 1.0),
     )
     # Block id per anchor: increments at each fractured edge; map
     # context (wide clouds) must never merge across blocks.

@@ -9,11 +9,21 @@ pushes corrected poses back (serverSocket.cpp:58-116, 43-56). The
 
 This module reimplements that topology over the native scan-frame
 transport (:mod:`..native.api`): the frontend runs the jitted odometry
-step per scan; the backend batches anchors and runs the loop-closure
-round + LM solve on its accelerator; pose updates flow back and rebase
-the frontend trajectory (the updateLocalPose/synFromGlobal back-edge).
-``run_loopback`` is the oneThread-style fold (threads, same wire
-protocol through localhost TCP).
+step per scan; the backend drives the SAME init-free correlative
+loop-closure machinery as the in-process facade — the shared
+:class:`..runtime.backend.IncrementalBackend` — exactly as the
+reference compiles one ``CServerBackend`` into both its TCP and
+in-process topologies (serverBackend.h:19-72). Pose updates flow back
+and rebase the frontend trajectory (the updateLocalPose/synFromGlobal
+back-edge). ``run_loopback`` is the oneThread-style fold (threads, same
+wire protocol through localhost TCP).
+
+Wire protocol detail: the frontend streams its RAW odometry pose
+(never rebased) so the server's drift/PCM reference stays valid, and
+ships the step confidence in the frame's covariance slot — var 0 =
+normal, ≥``WEAK_STEP_VAR`` = weak/low-overlap, ≥``FRACTURE_STEP_VAR``
+= unrecoverable fracture (the reference's clientFrontend streams
+cov[6] the same way, clientFrontend.h:47-53).
 
 For pod-scale SPMD (many chips, one program) see
 :mod:`..parallel.distributed`; this module covers the *process/machine*
@@ -34,10 +44,12 @@ from ..core.scan import LaserModel
 from ..native.api import ScanServer, ScanSocket
 from ..ops.odometry import _OdoCarry, _step
 from ..ops.preprocess import preprocess
-from ..runtime.slam import SlamConfig, _loop_round, INFO_ADJ, INFO_WEAK
+from .backend import IncrementalBackend
+from .slam import SlamConfig
 
 
-WEAK_STEP_VAR = 1.0  # [m²] variance stamped on weak/deep-fallback steps
+WEAK_STEP_VAR = 1.0      # [m²] variance stamped on weak/deep-fallback steps
+FRACTURE_STEP_VAR = 4.0  # [m²] variance stamped on fractured steps
 
 
 class Frontend:
@@ -48,7 +60,8 @@ class Frontend:
         self.model = model
         self._step_fn = jax.jit(lambda c, s: _step(model, c, s))
         self._carry = None
-        self.poses: list[np.ndarray] = []
+        self.poses: list[np.ndarray] = []   # corrected trajectory
+        self._odo: list[np.ndarray] = []    # raw odometry chain (no rebase)
         self._updates: "queue.Queue" = queue.Queue()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -63,26 +76,31 @@ class Frontend:
 
     def feed_scan(self, ranges, stamp: float = 0.0) -> np.ndarray:
         scan = preprocess(jnp.asarray(ranges, jnp.float32), self.model)
-        weak = False
+        weak = frac = False
         if self._carry is None:
             zero = jnp.zeros(3, jnp.float32)
             self._carry = _OdoCarry(scan, scan, zero, zero, zero)
-            pose = np.zeros(3, np.float32)
+            pose = odo_pose = np.zeros(3, np.float32)
         else:
-            self._carry, (p, _, _, w, _f) = self._step_fn(self._carry, scan)
+            prev = jnp.asarray(self.poses[-1])
+            self._carry, (p, _, _, w, f) = self._step_fn(self._carry, scan)
             pose = np.asarray(p)
-            weak = bool(w)
+            weak, frac = bool(w), bool(f)
+            # Raw chain: integrate the step relative, ignoring rebases.
+            rel = se2.relative(prev, jnp.asarray(pose))
+            odo_pose = np.asarray(
+                se2.compose(jnp.asarray(self._odo[-1]), rel)
+            )
         self._apply_updates()
         self.poses.append(pose)
-        # Ship the step confidence in the frame's covariance slot (the
-        # reference's clientFrontend streams cov[6] the same way,
-        # clientFrontend.h:47-53): a weak/deep-fallback step gets a
-        # large variance so the backend downweights the sequential edge
-        # spanning it instead of trusting it at full strength.
-        var = WEAK_STEP_VAR if weak else 0.0
+        self._odo.append(odo_pose)
+        var = (
+            FRACTURE_STEP_VAR if frac else (WEAK_STEP_VAR if weak else 0.0)
+        )
         cov = np.asarray([var, var, var, 0.0, 0.0, 0.0], np.float32)
         self.sock.send_scan(
-            np.asarray(ranges, np.float32), pose=pose, cov=cov, stamp=stamp
+            np.asarray(ranges, np.float32), pose=odo_pose, cov=cov,
+            stamp=stamp,
         )
         return pose
 
@@ -115,7 +133,11 @@ class Frontend:
 
 
 class Backend:
-    """Server side: collect anchors, close loops, push corrections."""
+    """Server side: collect scans, close loops, push corrections.
+
+    Runs the shared :class:`IncrementalBackend` — identical machinery
+    (bank/tried persistence, drift-aware init-free correlative
+    verification, robust solve) to ``OnlineSlam._backend_round``."""
 
     def __init__(self, conn: ScanSocket, model: LaserModel,
                  cfg: SlamConfig = SlamConfig(), optimize_every: int = 8):
@@ -123,75 +145,57 @@ class Backend:
         self.model = model
         self.cfg = cfg
         self.optimize_every = optimize_every
-        self._round_fn = jax.jit(
-            lambda a_scans, a_poses, rels, radius, w: _loop_round(
-                model, cfg, a_scans, a_poses, rels, radius, w
-            )
-        )
+        self._backend = IncrementalBackend(model, cfg)
         self.n_loops_total = 0
 
     def run(self, max_scans: int | None = None) -> np.ndarray:
         """Serve until EOF (or ``max_scans``); returns anchor poses."""
-        scans, poses = [], []
-        anchor_scans, anchor_ids = [], []
+        all_scans, poses, odo = [], [], []
+        weak: list[bool] = []
+        frac: list[bool] = []
         t = 0
         stride = self.cfg.anchor_stride
-        self._weak: list[bool] = []
+        n_anchors = 0
         while max_scans is None or t < max_scans:
             frame = self.conn.recv()
             if frame is None or frame[0] != "scan":
                 break
             _, ranges, pose, cov, _ = frame
             scan = preprocess(jnp.asarray(ranges), self.model)
-            scans.append(scan)
+            all_scans.append(scan)
+            # The streamed pose is the client's RAW odometry pose.
+            odo.append(np.asarray(pose))
             poses.append(np.asarray(pose))
-            # Weak-step flag rides the frame covariance (Frontend side).
-            self._weak.append(
-                cov is not None and float(np.asarray(cov).reshape(-1)[0]) > 0.5
+            var = (
+                float(np.asarray(cov).reshape(-1)[0])
+                if cov is not None else 0.0
             )
+            weak.append(var >= 0.5 * WEAK_STEP_VAR)
+            frac.append(var >= 0.5 * (WEAK_STEP_VAR + FRACTURE_STEP_VAR))
             if t % stride == 0:
-                anchor_scans.append(scan)
-                anchor_ids.append(t)
+                n_anchors += 1
                 if (
-                    len(anchor_scans) >= 8
-                    and len(anchor_scans) % self.optimize_every == 0
+                    n_anchors >= IncrementalBackend.MIN_GROUPS
+                    and n_anchors % self.optimize_every == 0
                 ):
-                    poses = self._optimize(anchor_scans, anchor_ids, poses)
+                    rebased = self._backend.round(
+                        all_scans, poses, odo, weak, frac
+                    )
+                    if rebased is not None:
+                        poses = [rebased[i] for i in range(rebased.shape[0])]
+                        self.n_loops_total = self._backend.n_loops
+                        last_anchor = ((len(poses) - 1) // stride) * stride
+                        self.conn.send_pose(last_anchor, poses[last_anchor])
             t += 1
-        return np.stack([poses[i] for i in anchor_ids]) if anchor_ids else np.zeros((0, 3))
-
-    def _optimize(self, anchor_scans, anchor_ids, poses):
-        a = len(anchor_scans)
-        batch = jax.tree.map(lambda *x: jnp.stack(x), *anchor_scans)
-        anchor_poses = jnp.asarray(np.stack([poses[i] for i in anchor_ids]))
-        rel_seq = se2.relative(anchor_poses[:-1], anchor_poses[1:])
-        # Downweight anchor intervals containing a weak odometry step —
-        # same corridor-grade information the offline pipeline applies
-        # (slam.py _frontend; MapGraph.cpp:250-261). Round 1 quietly
-        # dropped this on the distributed path.
-        weak_edge = np.zeros(a - 1, bool)
-        for e in range(a - 1):
-            lo = anchor_ids[e] + 1
-            hi = min(anchor_ids[e + 1] + 1, len(self._weak))
-            weak_edge[e] = any(self._weak[lo:hi])
-        seq_w = jnp.where(
-            jnp.asarray(weak_edge), INFO_WEAK / INFO_ADJ, 1.0
-        ).astype(jnp.float32)
-        new_poses, n_loops, _ = self._round_fn(
-            batch, anchor_poses, rel_seq,
-            jnp.asarray(self.cfg.loop_radius, jnp.float32), seq_w,
-        )
-        self.n_loops_total += int(n_loops)
-        # Rebase the server-side trajectory and notify the client of the
-        # newest anchor's corrected pose.
-        old = jnp.asarray(np.stack(poses))
-        seg = np.minimum(np.arange(len(poses)) // self.cfg.anchor_stride, a - 1)
-        rel = se2.relative(old[np.asarray(anchor_ids)[seg]], old)
-        rebased = np.asarray(se2.compose(jnp.asarray(new_poses)[seg], rel))
-        poses = [rebased[i] for i in range(rebased.shape[0])]
-        last_id = anchor_ids[-1]
-        self.conn.send_pose(last_id, poses[last_id])
-        return poses
+        # Final full round over the complete session (the reference's
+        # server keeps optimizing after the stream ends, main_server.cpp).
+        rebased = self._backend.round(all_scans, poses, odo, weak, frac)
+        if rebased is not None:
+            poses = [rebased[i] for i in range(rebased.shape[0])]
+            self.n_loops_total = self._backend.n_loops
+        self.poses = np.stack(poses) if poses else np.zeros((0, 3))
+        aidx = np.arange(0, len(poses), stride)
+        return self.poses[aidx] if len(poses) else np.zeros((0, 3))
 
 
 def run_loopback(
@@ -202,7 +206,9 @@ def run_loopback(
 ) -> tuple[np.ndarray, int]:
     """oneThread-style fold: frontend and backend in one process,
     speaking the real wire protocol over localhost. Returns
-    ``(frontend trajectory [T, 3], backend loop count)``."""
+    ``(backend trajectory [T, 3], backend loop count)`` — the backend's
+    trajectory carries the loop-closure corrections (the frontend's
+    local copy only sees the piggy-backed anchor updates)."""
     import socket as pysock
 
     if port == 0:
@@ -218,6 +224,7 @@ def run_loopback(
         conn = server.accept(timeout_ms=10_000)
         be = Backend(conn, model, cfg)
         result["anchors"] = be.run(max_scans=len(ranges))
+        result["poses"] = be.poses
         result["loops"] = be.n_loops_total
         conn.close()
 
@@ -227,6 +234,9 @@ def run_loopback(
     for r in ranges:
         fe.feed_scan(r)
     fe.close()
-    th.join(timeout=60)
+    th.join(timeout=600)
     server.close()
-    return np.stack(fe.poses), result.get("loops", 0)
+    poses = result.get("poses")
+    if poses is None or len(poses) == 0:
+        poses = np.stack(fe.poses)
+    return poses, result.get("loops", 0)

@@ -7,18 +7,25 @@ Must run before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The TPU-sized accuracy lane (pytest -m accuracy) opts OUT of the CPU
+# mesh: full-log SLAM is ~7 min/log on the TPU and impractical on host
+# CPU (see tests/test_accuracy.py).
+_USE_TPU = os.environ.get("LASER_SLAM_ACCURACY_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The CI image pre-imports jax with JAX_PLATFORMS=axon (a tunneled TPU);
 # env vars are latched by then, so force the platform via the config API.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

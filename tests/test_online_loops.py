@@ -29,19 +29,26 @@ MODEL = LaserModel(
 
 
 def box_ranges(pose, box=(-1.0, 9.0, -1.0, 7.0)):
-    """Analytic ranges of an axis-aligned rectangle seen from pose."""
+    """Analytic ranges of an axis-aligned rectangle seen from pose, plus
+    a stub wall at x=3, y∈[-1, 0.5] that breaks the room's 180°
+    rotational symmetry — without it every scan from the center line has
+    a perfect-quality rotated alias and the correlative matcher verifies
+    180°-flipped loops (which PCM then rightly rejects)."""
     n = MODEL.n_beams
     fi = np.radians(MODEL.fi_min_deg + np.arange(n) * (MODEL.fov_deg / (n - 1))) + pose[2]
     dx, dy = np.cos(fi), np.sin(fi)
     x0, x1, y0, y1 = box
-    ts = np.full((4, n), np.inf)
+    ts = np.full((5, n), np.inf)
     with np.errstate(divide="ignore", invalid="ignore"):
         for k, t in enumerate(
             [(x0 - pose[0]) / dx, (x1 - pose[0]) / dx,
-             (y0 - pose[1]) / dy, (y1 - pose[1]) / dy]
+             (y0 - pose[1]) / dy, (y1 - pose[1]) / dy,
+             (3.0 - pose[0]) / dx]
         ):
-            hit = pose[1] + t * dy if k < 2 else pose[0] + t * dx
-            lo, hi = (y0, y1) if k < 2 else (x0, x1)
+            hit = pose[1] + t * dy if k in (0, 1, 4) else pose[0] + t * dx
+            lo, hi = (y0, 0.5) if k == 4 else (
+                (y0, y1) if k < 2 else (x0, x1)
+            )
             ok = (t > 0) & (hit >= lo) & (hit <= hi)
             ts[k] = np.where(ok, t, np.inf)
     return np.minimum(ts.min(axis=0), MODEL.max_range - 0.01).astype(
@@ -90,8 +97,9 @@ def test_online_backend_closes_loops():
         slam.feed_scan(ranges.astype(np.float32))
 
     # The backend ran with the correlative machinery and banked loops.
-    assert slam._bank is not None
-    strict = int((slam._bank["act"] & slam._bank["strict"]).sum())
+    bank = slam._backend._bank
+    assert bank is not None
+    strict = int((bank["act"] & bank["strict"]).sum())
     assert strict >= 1, "no loop edges accepted on a closed lap"
 
     # Rebased trajectory stays metrically sane: start-to-end gap of the

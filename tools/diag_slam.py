@@ -23,6 +23,7 @@ def main() -> None:
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("LASER_SLAM_TIMING", "1")
 
     import jax.numpy as jnp
     import numpy as np

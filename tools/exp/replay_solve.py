@@ -9,7 +9,7 @@ from laser_slam_tpu.runtime.slam import SlamConfig, _solve_with_bank, _reattach
 from laser_slam_tpu.eval.metrics import ate
 import laser_slam_tpu.core.se2 as se2
 
-d = np.load("/root/repo/diag_intel-lab.npz")
+d = np.load("/root/repo/diag/r4_intel-lab.npz")
 gt = jnp.asarray(d["gt"])
 odo = jnp.asarray(d["odo"])
 cfg = SlamConfig()
