@@ -3,13 +3,24 @@
 The role of the reference's ``NetPortal`` (src/Main-Ctrl/NetPortal/
 NetPortal.cpp, 811 LoC of raw-socket framing): an operator console
 connects over TCP and issues commands; the portal answers with robot
-state. Protocol here is newline-delimited UTF-8, one command per line:
+state. The reference's binary command codes (MainCtrl_Define.h:82-87)
+map onto newline-delimited UTF-8 verbs, one command per line:
 
-    GOTO <x> <y>      queue a navigation goal (meters)
-    CANCEL            abort the current mission
-    POSE              -> "POSE x y theta"
-    STATE             -> "STATE <task-state>"
-    PING              -> "PONG"
+    GOTO <x> <y>           queue a navigation goal (meters)
+    PATH <x1> <y1> ...     queue a multi-waypoint task path
+                           (NEW_TASK_PATH 0x0001, Task.cpp:518-548)
+    REPATH <x1> <y1> ...   replace the running mission mid-task
+                           (RE_TASK_PATH 0x0002, Task.cpp:561-588)
+    STOP                   decelerate to a stop, clear the mission
+                           (SLOW_BREAK 0x1000 / task type 10)
+    CANCEL                 abort the current mission immediately
+    POSE                   -> "POSE x y theta"
+    STATE                  -> "STATE <task-state>"
+    PING                   -> "PONG"
+    HEART                  -> "BEAT"; arms the heartbeat watchdog
+                           (HEART_BIT 0xFFF0: the reference's portal
+                           supervises the console link and stops the
+                           robot when the beat goes silent)
 
 Runs on a daemon thread; handlers are supplied by the composition root.
 """
@@ -18,6 +29,7 @@ from __future__ import annotations
 
 import socket
 import threading
+import time
 from typing import Callable
 
 
@@ -30,6 +42,11 @@ class NetPortal:
         on_cancel: Callable[[], None] | None = None,
         get_pose: Callable[[], tuple] | None = None,
         get_state: Callable[[], str] | None = None,
+        on_path: Callable[[list], None] | None = None,
+        on_repath: Callable[[list], None] | None = None,
+        on_slow_stop: Callable[[], None] | None = None,
+        on_heartbeat_lost: Callable[[], None] | None = None,
+        heartbeat_timeout: float = 3.0,
     ):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -40,11 +57,34 @@ class NetPortal:
         self._on_cancel = on_cancel
         self._get_pose = get_pose
         self._get_state = get_state
+        self._on_path = on_path
+        self._on_repath = on_repath
+        self._on_slow_stop = on_slow_stop
+        self._on_heartbeat_lost = on_heartbeat_lost
+        self._heartbeat_timeout = heartbeat_timeout
+        self._last_beat: float | None = None  # armed by the first HEART
+        self._beat_lost_fired = False
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._watchdog = threading.Thread(
+            target=self._watch_heartbeat, daemon=True
+        )
 
     def start(self) -> None:
         self._thread.start()
+        self._watchdog.start()
+
+    def _watch_heartbeat(self) -> None:
+        """Fire ``on_heartbeat_lost`` once when an armed heartbeat goes
+        silent past the timeout (the reference portal's HEART_BIT link
+        supervision — a lost console means the robot must stop)."""
+        while not self._stop.wait(0.2):
+            if self._last_beat is None or self._beat_lost_fired:
+                continue
+            if time.monotonic() - self._last_beat > self._heartbeat_timeout:
+                self._beat_lost_fired = True
+                if self._on_heartbeat_lost is not None:
+                    self._on_heartbeat_lost()
 
     def stop(self) -> None:
         self._stop.set()
@@ -82,12 +122,31 @@ class NetPortal:
         cmd = parts[0].upper()
         if cmd == "PING":
             return "PONG"
+        if cmd == "HEART":
+            self._last_beat = time.monotonic()
+            self._beat_lost_fired = False
+            return "BEAT"
         if cmd == "GOTO" and len(parts) == 3 and self._on_goto:
             try:
                 self._on_goto(float(parts[1]), float(parts[2]))
                 return "OK"
             except ValueError:
                 return "ERR bad args"
+        if cmd in ("PATH", "REPATH"):
+            handler = self._on_path if cmd == "PATH" else self._on_repath
+            if handler is None:
+                return "ERR unknown"
+            try:
+                vals = [float(v) for v in parts[1:]]
+            except ValueError:
+                return "ERR bad args"
+            if len(vals) < 2 or len(vals) % 2:
+                return "ERR bad args"
+            handler([(vals[i], vals[i + 1]) for i in range(0, len(vals), 2)])
+            return "OK"
+        if cmd == "STOP" and self._on_slow_stop:
+            self._on_slow_stop()
+            return "OK"
         if cmd == "CANCEL" and self._on_cancel:
             self._on_cancel()
             return "OK"

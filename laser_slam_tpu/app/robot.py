@@ -65,6 +65,15 @@ class RobotController:
                 get_state=lambda: (
                     self.tasks.state.value if self.tasks else "no-tasks"
                 ),
+                on_path=lambda pts: self.tasks and self.tasks.add_path(pts),
+                on_repath=lambda pts: (
+                    self.tasks and self.tasks.replace_path(pts)
+                ),
+                on_slow_stop=lambda: self.tasks and self.tasks.slow_stop(),
+                # A silent console stops the robot (HEART_BIT supervision).
+                on_heartbeat_lost=lambda: (
+                    self.tasks and self.tasks.slow_stop()
+                ),
             )
             self.portal.start()
             self.log.log(LOG_NET, f"portal listening on {self.portal.port}")

@@ -180,3 +180,19 @@ def np_compose(a, b):
         ],
         axis=-1,
     )
+
+
+def np_inverse(a):
+    """NumPy mirror of :func:`inverse`."""
+    import numpy as np
+
+    ax, ay, ath = a[..., 0], a[..., 1], a[..., 2]
+    c, s = np.cos(ath), np.sin(ath)
+    return np.stack(
+        [
+            -(c * ax + s * ay),
+            s * ax - c * ay,
+            np_normalize_angle(-ath),
+        ],
+        axis=-1,
+    )

@@ -48,6 +48,7 @@ class IncrementalBackend:
         self._tried: np.ndarray | None = None
         self._reduce_fn = None
         self.n_loops = 0
+        self._last_round_wall = 0.0   # [s] wall of the latest round
 
     # -- submap reduction ------------------------------------------------
 
@@ -105,8 +106,11 @@ class IncrementalBackend:
         Returns the rebased per-scan trajectory ``[T, 3]`` (the
         synFromGlobal back-edge, threadLocal1.cpp:326-359), or ``None``
         if not enough anchor groups are complete yet."""
+        import time
+
         from ..graph.submap import Submaps
 
+        t_start = time.perf_counter()
         stride = self.cfg.anchor_stride
         t = len(all_scans)
         self._build_group_submaps(all_scans, odo_chain, t)
@@ -170,10 +174,10 @@ class IncrementalBackend:
 
         # Rebase all per-scan poses onto the optimized anchors; offsets
         # come from the OLD anchor poses, batched in one device call.
-        old = jnp.asarray(np.stack(poses))
+        old = np.stack(poses)
         t_all = np.arange(old.shape[0])
         seg = np.minimum(t_all // stride, n - 1)
-        rel = se2.relative(old[seg * stride], old)
-        return np.asarray(
-            se2.compose(jnp.asarray(new_anchor_poses)[seg], rel)
-        )
+        rel = se2.np_relative(old[seg * stride], old)
+        out = se2.np_compose(new_anchor_poses[seg], rel).astype(np.float32)
+        self._last_round_wall = time.perf_counter() - t_start
+        return out

@@ -50,6 +50,12 @@ class OnlineSlam:
     incremental_map: bool = True        # live MapService grid (O(1)/scan)
     map_resolution: float = 0.1
     map_half_size: float = 60.0
+    async_backend: bool = False         # run backend rounds on a host
+    #                                     thread (the reference's
+    #                                     ThreadGlobal1 overlap,
+    #                                     slam.cpp:40-67): feed_scan
+    #                                     never blocks on a round;
+    #                                     corrections apply on completion
 
     def __post_init__(self):
         self._carry: _OdoCarry | None = None
@@ -67,6 +73,8 @@ class OnlineSlam:
         from .backend import IncrementalBackend
 
         self._backend = IncrementalBackend(self.model, self.cfg)
+        self._bg_thread = None              # in-flight async round
+        self._bg_result = None              # (rebased, t_snapshot)
         self._t = 0
         self._fusion = ukf.init(jnp.zeros(3), 0.01) if self.use_fusion else None
         self._imap = None
@@ -83,6 +91,8 @@ class OnlineSlam:
 
     def feed_scan(self, ranges) -> np.ndarray:
         """Process one scan; returns the current global pose [3]."""
+        if self.async_backend:
+            self._poll_backend()
         scan = preprocess(jnp.asarray(ranges), self.model)
         # Cache the preprocessed scan so downstream consumers (local map,
         # obstacle layer) reuse it instead of re-running preprocess.
@@ -312,7 +322,10 @@ class OnlineSlam:
                 len(self._scans) >= 8
                 and (len(self._scans) % self.optimize_every) == 0
             ):
-                self._backend_round()
+                if self.async_backend:
+                    self._schedule_backend()
+                else:
+                    self._backend_round()
         if not hasattr(self, "_all_scans"):
             self._all_scans = []
         self._all_scans.append(scan)
@@ -339,11 +352,84 @@ class OnlineSlam:
         if rebased is None:
             return
         self.n_loops = self._backend.n_loops
-        self._poses = [rebased[t] for t in range(rebased.shape[0])]
+        self._apply_rebased(rebased, rebased.shape[0])
+
+    # -- async backend (frontend/backend overlap) -----------------------
+    # The reference overlaps its frontend and backend threads
+    # (ThreadLocal1 keeps matching while ThreadGlobal1 optimizes,
+    # slam.cpp:40-67, with the synFromGlobal rebase back-edge). Here the
+    # backend round runs on ONE host worker thread against an immutable
+    # snapshot of the session (per-scan records only ever append, and
+    # np arrays are never mutated in place); the main thread applies the
+    # result at the next feed_scan and extends the correction to scans
+    # that arrived while the round was in flight.
+
+    def _schedule_backend(self) -> None:
+        import threading
+
+        if self._bg_thread is not None and self._bg_thread.is_alive():
+            return                       # single-flight: skip, not queue
+        self._poll_backend()             # apply any finished result first
+        snap = (
+            list(self._all_scans), list(self._poses),
+            list(self._odo_chain), list(self._weak), list(self._fracture),
+        )
+        t_snap = len(snap[1])
+
+        def work():
+            rebased = self._backend.round(*snap)
+            if rebased is not None:
+                self._bg_result = (rebased, t_snap)
+
+        self._bg_thread = threading.Thread(target=work, daemon=True)
+        self._bg_thread.start()
+
+    def _poll_backend(self) -> None:
+        res = self._bg_result
+        if res is None:
+            return
+        self._bg_result = None
+        rebased, t_snap = res
+        self.n_loops = self._backend.n_loops
+        self._apply_rebased(rebased, t_snap)
+
+    def flush(self, final_round: bool = True) -> None:
+        """Wait for the in-flight async round (if any), apply it, then
+        run one synchronous round over the complete session — scans fed
+        while the last async round was in flight have not been searched
+        for loops yet (the reference's server keeps optimizing after the
+        stream ends, tcp_slam/main_server.cpp)."""
+        if self._bg_thread is not None:
+            self._bg_thread.join()
+        self._poll_backend()
+        if final_round:
+            self._backend_round()
+
+    def _apply_rebased(self, rebased: np.ndarray, t_snap: int) -> None:
+        """Splice an optimized trajectory back into the live session:
+        scans the backend saw take its poses; scans that arrived later
+        are shifted by the correction at the last snapshot pose (the
+        bigChange delta, threadGlobal1.cpp:51-60)."""
+        n_now = len(self._poses)
+        if n_now > t_snap:
+            old_last = self._poses[t_snap - 1]
+            delta = se2.np_compose(
+                rebased[t_snap - 1], se2.np_inverse(old_last)
+            ).astype(np.float32)
+            tail = se2.np_compose(
+                delta[None], np.stack(self._poses[t_snap:n_now])
+            ).astype(np.float32)
+            new_poses = [rebased[t] for t in range(t_snap)] + [
+                tail[i] for i in range(tail.shape[0])
+            ]
+        else:
+            new_poses = [rebased[t] for t in range(rebased.shape[0])]
+        self._poses = new_poses
+        full = np.stack(self._poses)
         # Rebuild the live map only when the optimization actually moved
         # poses (bigChange gate) — per-scan map cost stays O(1).
-        if self._imap is not None and self._imap.needs_rebase(rebased):
-            self._imap.rebase(rebased)
+        if self._imap is not None and self._imap.needs_rebase(full):
+            self._imap.rebase(full)
         # Rebase the live frontend carry.
         if self._carry is not None:
             self._carry = self._carry._replace(

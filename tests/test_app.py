@@ -94,6 +94,15 @@ def test_task_engine_plans_tracks_and_completes():
     scan = _open_scan()
     pose = np.array([2.0, 2.0, 0.0], np.float32)
     cmd = eng.step(pose, scan)
+    # The goal is 45° off the heading: face-to-milestone turns in place
+    # first (Task.cpp:543 FaceToMilestone), then tracking engages.
+    assert eng.state is TaskState.TURNING
+    assert float(cmd.v) == 0.0 and float(cmd.omega) != 0.0
+    for _ in range(40):
+        pose[2] += 0.05 * float(cmd.omega) / abs(float(cmd.omega))
+        cmd = eng.step(pose, scan)
+        if eng.state is TaskState.TRACKING:
+            break
     assert eng.state is TaskState.TRACKING
     assert float(cmd.v) > 0.0  # moving toward the goal
 
@@ -184,3 +193,81 @@ def test_motor_link_frames_and_replies():
     frames = decode_frames(bytearray(b"".join(link._t.written)))
     vL, vR, _, _ = struct.unpack("<hhHH", frames[0][1])
     assert (vL, vR) == (450, 550)
+
+
+def test_task_engine_path_and_slow_stop():
+    """NEW_TASK_PATH / SLOW_BREAK parity (Task.cpp:509-588): a queued
+    multi-waypoint path with per-leg speed caps, then a slow stop that
+    ramps the speed down instead of cutting it."""
+    grid = _free_grid()
+    eng = TaskEngine(MODEL, grid, goal_tolerance=0.3, robot_radius=0.2,
+                     face_tolerance=10.0)  # no in-place turn in this test
+    eng.add_path([(5.0, 2.0), (8.0, 2.0)], speed_limits=[0.3, 0.8])
+    scan = _open_scan()
+    pose = np.array([2.0, 2.0, 0.0], np.float32)
+    cmd = eng.step(pose, scan)
+    assert eng.state is TaskState.TRACKING
+    # First leg's 0.3 m/s cap binds.
+    assert 0.0 < float(cmd.v) <= 0.3 + 1e-6
+
+    eng.slow_stop()
+    assert eng.state is TaskState.STOPPING
+    vs = []
+    for _ in range(eng.stop_decel_ticks + 1):
+        vs.append(float(eng.step(pose, scan).v))
+    assert eng.state is TaskState.IDLE
+    assert vs[-1] == 0.0
+    assert all(a >= b for a, b in zip(vs, vs[1:]))  # monotone ramp
+
+
+def test_task_engine_replace_path():
+    """RE_TASK_PATH parity: a running mission is replaced mid-task."""
+    grid = _free_grid()
+    eng = TaskEngine(MODEL, grid, goal_tolerance=0.3, robot_radius=0.2,
+                     face_tolerance=10.0)
+    eng.add_goal((8.0, 8.0))
+    scan = _open_scan()
+    pose = np.array([2.0, 2.0, 0.0], np.float32)
+    eng.step(pose, scan)
+    assert eng.state is TaskState.TRACKING
+    eng.replace_path([(2.0, 6.0)])
+    assert eng.state is TaskState.PLANNING
+    eng.step(pose, scan)
+    assert eng.state is TaskState.TRACKING
+    assert list(map(tuple, eng._goals)) == [(2.0, 6.0)]
+
+
+def test_portal_path_stop_heartbeat():
+    import time as _time
+
+    paths, repaths, stops, lost = [], [], [], []
+    portal = NetPortal(
+        on_path=paths.append,
+        on_repath=repaths.append,
+        on_slow_stop=lambda: stops.append(1),
+        on_heartbeat_lost=lambda: lost.append(1),
+        heartbeat_timeout=0.5,
+    )
+    portal.start()
+    try:
+        with socket.create_connection(("127.0.0.1", portal.port), timeout=5) as c:
+            f = c.makefile("rw", encoding="utf-8", newline="\n")
+            for cmd, expect in [
+                ("PATH 1.0 2.0 3.0 4.0", "OK"),
+                ("REPATH 5.0 6.0", "OK"),
+                ("PATH 1.0", "ERR bad args"),
+                ("STOP", "OK"),
+                ("HEART", "BEAT"),
+            ]:
+                f.write(cmd + "\n"); f.flush()
+                assert f.readline().strip() == expect
+        # Armed heartbeat goes silent -> watchdog fires exactly once.
+        deadline = _time.time() + 5.0
+        while not lost and _time.time() < deadline:
+            _time.sleep(0.1)
+    finally:
+        portal.stop()
+    assert paths == [[(1.0, 2.0), (3.0, 4.0)]]
+    assert repaths == [[(5.0, 6.0)]]
+    assert stops == [1]
+    assert lost == [1]

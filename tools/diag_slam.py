@@ -19,6 +19,9 @@ def main() -> None:
     ap.add_argument("log", nargs="?", default="intel-lab")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument("--censi", action="store_true",
+                    help="enable use_censi_info (per-loop information "
+                         "from the polish ICP covariance)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.cpu:
@@ -40,6 +43,8 @@ def main() -> None:
     cfg = SlamConfig()
     if args.rounds is not None:
         cfg = __import__("dataclasses").replace(cfg, rounds=args.rounds)
+    if args.censi:
+        cfg = __import__("dataclasses").replace(cfg, use_censi_info=True)
 
     d: dict = {}
     t0 = time.time()
