@@ -203,7 +203,7 @@ def _deep_rematch_chunk(
 def odometry_keyframe(
     model: LaserModel,
     scans: Scan,
-    deep_chunk: int = 64,
+    deep_chunk: int = 128,
     timestamps=None,
 ) -> OdometryResult:
     """Run keyframe odometry over a preprocessed ``[T, N]`` scan log.
@@ -248,12 +248,23 @@ def odometry_keyframe(
         last_gpose=zero,
         prior_rel=zero,
     )
+    import os
+    import sys
+    import time as _time
+
+    _verbose = bool(os.environ.get("LASER_SLAM_TIMING"))
+    t0 = _time.perf_counter()
     pass1 = jax.jit(
         lambda i, r: jax.lax.scan(
             lambda c, s: _step(model, c, s, deep_inline=False), i, r
         )
     )
     _, (poses, switched, discarded, deep_flag, _unused) = pass1(init, rest)
+    jax.block_until_ready(poses)
+    if _verbose:
+        print(f"[odo] pass1 scan: {_time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        t0 = _time.perf_counter()
 
     poses = jnp.concatenate([zero[None], poses], axis=0)
     t = scans.ranges.shape[0]
@@ -279,6 +290,7 @@ def odometry_keyframe(
             lambda r, c, p, b: _deep_rematch_chunk(model, r, c, p, b)
         )
         for i in range(0, idxp.size, deep_chunk):
+            tc = _time.perf_counter()
             sl = idxp[i:i + deep_chunk]
             ref_b = jax.tree.map(lambda x: x[sl], scans)      # scan[t-1]... sl is step
             cur_b = jax.tree.map(lambda x: x[sl + 1], scans)
@@ -287,6 +299,10 @@ def odometry_keyframe(
             pose_b, fail_b, weak_b, frac_b = jax.tree.map(
                 np.asarray, rematch(ref_b, cur_b, prior_b, big_b)
             )
+            if _verbose:
+                print(f"[odo]   chunk {i // deep_chunk}: "
+                      f"{_time.perf_counter() - tc:.1f}s",
+                      file=sys.stderr, flush=True)
             n_real = min(i + deep_chunk, idx.size) - i
             steps = idxp[i:i + n_real]
             ok = ~fail_b[:n_real]
@@ -297,9 +313,18 @@ def odometry_keyframe(
             weak[steps] = weak_b[:n_real] | ~ok | dt_big[steps]
             disc[steps] = ~ok
             frac[steps] = frac_b[:n_real] | ~ok
-        poses = jnp.concatenate(
-            [zero[None], se2.chain(rel)], axis=0
-        )
+        # Jit the re-chain: the associative scan dispatched eagerly is
+        # hundreds of tiny ops, each paying a remote-accelerator
+        # round-trip (measured 129 s on a 1050-step log via the axon
+        # tunnel vs 1.9 s compiled).
+        poses = jax.jit(
+            lambda r: jnp.concatenate([zero[None], se2.chain(r)], axis=0)
+        )(rel)
+        jax.block_until_ready(poses)
+        if _verbose:
+            print(f"[odo] deep rematch ({idx.size} steps): "
+                  f"{_time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
     f = jnp.asarray(False)
     return OdometryResult(
@@ -321,7 +346,7 @@ def odometry_pairwise(
     matcher = match_icp if use_icp else match_psm
     res = jax.vmap(lambda a, b: matcher(model, a, b))(ref, cur)
     rel = jnp.where(res.fail[:, None], jnp.zeros_like(res.pose), res.pose)
-    poses = se2.chain(rel)
+    poses = jax.jit(se2.chain)(rel)
     zero = jnp.zeros((1, 3), poses.dtype)
     f = jnp.asarray(False)
     t1 = res.fail.shape[0]
