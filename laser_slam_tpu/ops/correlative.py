@@ -131,6 +131,7 @@ def match_correlative(
     refine: bool = True,
     prior_xy: float = 0.02,
     prior_theta: float = 0.005,
+    conv: bool = True,
 ) -> CorrelativeResult:
     """Correlative match of ``cur`` against ``ref`` over the search
     volume ``±search_xy [m] × ±search_theta [rad]`` centered on
@@ -154,12 +155,27 @@ def match_correlative(
     n_steps = int(search_xy / res)
     steps = jnp.arange(-n_steps, n_steps + 1, dtype=dtype) * res
 
-    score = jax.lax.map(
-        lambda th: _score_theta(
-            grid, res, GRID_HALF_EXTENT, pts, valid, th, steps, init_pose[:2]
-        ),
-        thetas,
-    )                                                           # [K, T, T]
+    if conv:
+        # MXU path: the whole (θ, ty, tx) volume as one convolution —
+        # identical sums to the gather formulation (each point's cell
+        # value at every shift), ~100× faster on TPU. The odometry deep
+        # fallback moved here from the lax.map gather loop: 19 s → <1 s
+        # per 128-pair chunk (measured on mit-cscail flagged steps).
+        score = jnp.swapaxes(
+            correlative_score_volume(
+                grid, pts, valid, thetas, n_steps, res,
+                GRID_HALF_EXTENT, init_pose[:2],
+            ),
+            1, 2,
+        )                                                       # [K, Tx, Ty]
+    else:
+        score = jax.lax.map(
+            lambda th: _score_theta(
+                grid, res, GRID_HALF_EXTENT, pts, valid, th, steps,
+                init_pose[:2]
+            ),
+            thetas,
+        )                                                       # [K, T, T]
     dth_pen = se2.normalize_angle(thetas - init_pose[2]) ** 2
     penalty = (
         prior_theta * dth_pen[:, None, None]
