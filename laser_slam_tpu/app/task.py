@@ -119,6 +119,21 @@ class TaskEngine:
         self._path = None
         self.state = TaskState.IDLE
 
+    def velocity_schedule(self):
+        """Feed-forward wheel-speed schedule for the current planned
+        path (the reference's command mode: Trajectory.cpp generates
+        CMD_SLICE wheel velocities per segment and streams them to the
+        motor link, Task.cpp Drive → NewSegmentRectilinear). Returns a
+        :class:`..nav.trajectory.Schedule` or None when no path is
+        planned. Live control uses :meth:`step` (pure pursuit + zones);
+        this is the open-loop profile for lower-level controllers."""
+        from ..nav.trajectory import plan_velocity_schedule
+
+        if self._path is None:
+            return None
+        pts = self._path[: self._n_valid]
+        return plan_velocity_schedule(pts, v_max=self._leg_v)
+
     def update_grid(self, grid: OccupancyGrid) -> None:
         """Swap in a fresher map (the SLAM global map)."""
         self.grid = grid

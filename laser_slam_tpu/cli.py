@@ -231,6 +231,52 @@ def cmd_eval(args):
     )
 
 
+def cmd_serve(args):
+    """Distributed SLAM server: accept one frontend stream, run the
+    full correlative backend, push pose corrections back (the
+    reference's main_server.cpp:10-31 role)."""
+    import numpy as np
+
+    from .core.scan import PRESETS
+    from .native.api import ScanServer
+    from .runtime.slam import SlamConfig
+    from .runtime.tcp_slam import Backend
+
+    model = PRESETS[args.model]
+    server = ScanServer(args.port)
+    print(f"listening on :{args.port} ({model.name})")
+    conn = server.accept(timeout_ms=args.timeout * 1000)
+    be = Backend(conn, model, SlamConfig())
+    anchors = be.run()
+    print(f"session done: {be.poses.shape[0]} scans, "
+          f"{anchors.shape[0]} anchors, {be.n_loops_total} loops")
+    if args.out:
+        np.savetxt(args.out, be.poses, fmt="%.6f")
+        print(f"trajectory -> {args.out}")
+    conn.close()
+    server.close()
+
+
+def cmd_client(args):
+    """Distributed SLAM client: local odometry on a log, scans streamed
+    to the server, pose corrections applied (main_client.cpp:4-10)."""
+    import numpy as np
+
+    from .native.api import ScanSocket
+    from .runtime.tcp_slam import Frontend
+
+    log = _load(args.log, args.scans)
+    fe = Frontend(ScanSocket.connect(args.host, args.port), log.model)
+    t0 = time.time()
+    for r in log.ranges:
+        fe.feed_scan(np.asarray(r, np.float32))
+    print(f"{log.n_scans} scans streamed in {time.time() - t0:.1f}s")
+    fe.close()
+    if args.out:
+        np.savetxt(args.out, np.stack(fe.poses), fmt="%.6f")
+        print(f"trajectory -> {args.out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="laser_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -245,12 +291,15 @@ def main(argv=None):
     sp.add_argument("--out")
     sp.set_defaults(fn=cmd_odometry)
 
+    from .runtime.slam import SlamConfig as _SC
+
+    _dflt = _SC()
     sp = sub.add_parser("slam", help="full SLAM with loop closure")
     common(sp)
-    sp.add_argument("--stride", type=int, default=10)
-    sp.add_argument("--rounds", type=int, default=4)
-    sp.add_argument("--radius", type=float, default=2.0)
-    sp.add_argument("--max-loops", type=int, default=512)
+    sp.add_argument("--stride", type=int, default=_dflt.anchor_stride)
+    sp.add_argument("--rounds", type=int, default=_dflt.rounds)
+    sp.add_argument("--radius", type=float, default=_dflt.loop_radius)
+    sp.add_argument("--max-loops", type=int, default=_dflt.max_loops)
     sp.add_argument("--out")
     sp.add_argument("--map")
     sp.add_argument("--resolution", type=float, default=0.05)
@@ -283,6 +332,25 @@ def main(argv=None):
     sp.add_argument("traj")
     sp.add_argument("log")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "serve", help="distributed SLAM backend server (tcp_slam server)"
+    )
+    sp.add_argument("--port", type=int, default=6188)  # main_server.cpp:14
+    sp.add_argument("--model", default="LMS211")
+    sp.add_argument("--timeout", type=int, default=300,
+                    help="seconds to wait for a client")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "client", help="distributed SLAM frontend client (tcp_slam client)"
+    )
+    common(sp)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=6188)
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_client)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -77,21 +77,29 @@ class Frontend:
     def feed_scan(self, ranges, stamp: float = 0.0) -> np.ndarray:
         scan = preprocess(jnp.asarray(ranges, jnp.float32), self.model)
         weak = frac = False
+        # Apply pending backend corrections BEFORE stepping: the rebase
+        # shifts both the stored poses and the live carry, so the step
+        # increment below is computed in one consistent frame. (Applying
+        # after the step left the previous pose un-rebased against a
+        # rebased carry — every correction injected a jump into the
+        # streamed odometry chain, and the server's PCM/cycle checks run
+        # through that chain: measured intel-lab loopback ATE 27-39 m
+        # from exactly this.)
+        self._apply_updates()
         if self._carry is None:
             zero = jnp.zeros(3, jnp.float32)
             self._carry = _OdoCarry(scan, scan, zero, zero, zero)
             pose = odo_pose = np.zeros(3, np.float32)
         else:
-            prev = jnp.asarray(self.poses[-1])
+            prev = self.poses[-1]
             self._carry, (p, _, _, w, f) = self._step_fn(self._carry, scan)
             pose = np.asarray(p)
             weak, frac = bool(w), bool(f)
             # Raw chain: integrate the step relative, ignoring rebases.
-            rel = se2.relative(prev, jnp.asarray(pose))
-            odo_pose = np.asarray(
-                se2.compose(jnp.asarray(self._odo[-1]), rel)
-            )
-        self._apply_updates()
+            rel = se2.np_relative(prev[None], pose[None])[0]
+            odo_pose = se2.np_compose(
+                self._odo[-1][None], rel[None]
+            )[0].astype(np.float32)
         self.poses.append(pose)
         self._odo.append(odo_pose)
         var = (
@@ -163,9 +171,21 @@ class Backend:
             _, ranges, pose, cov, _ = frame
             scan = preprocess(jnp.asarray(ranges), self.model)
             all_scans.append(scan)
-            # The streamed pose is the client's RAW odometry pose.
+            # The streamed pose is the client's RAW odometry pose; the
+            # working estimate integrates its INCREMENTS onto the
+            # corrected tail — appending the raw pose directly would mix
+            # pre- and post-rebase frames after the first backend round
+            # (measured: intel-lab ATE 27 m from exactly that).
             odo.append(np.asarray(pose))
-            poses.append(np.asarray(pose))
+            if len(odo) == 1:
+                poses.append(odo[0])
+            else:
+                rel = se2.np_relative(odo[-2][None], odo[-1][None])[0]
+                poses.append(
+                    se2.np_compose(poses[-1][None], rel[None])[0].astype(
+                        np.float32
+                    )
+                )
             var = (
                 float(np.asarray(cov).reshape(-1)[0])
                 if cov is not None else 0.0
