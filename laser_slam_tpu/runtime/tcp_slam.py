@@ -209,7 +209,9 @@ class Backend:
             t += 1
         # Final full round over the complete session (the reference's
         # server keeps optimizing after the stream ends, main_server.cpp).
-        rebased = self._backend.round(all_scans, poses, odo, weak, frac)
+        rebased = self._backend.round(
+            all_scans, poses, odo, weak, frac, final=True
+        )
         if rebased is not None:
             poses = [rebased[i] for i in range(rebased.shape[0])]
             self.n_loops_total = self._backend.n_loops
