@@ -116,16 +116,20 @@ class OnlineSlam:
         self._carry, (pose, switched, discarded, weak, frac) = self._step_fn(
             self._carry, scan
         )
-        self._fracture.append(bool(frac))
-        pose_np = np.asarray(pose)
-        rel_step = se2.relative(
-            jnp.asarray(self._poses[-1]), jnp.asarray(pose_np)
-        )
+        # One bulk fetch per scan (separate casts pay a tunnel
+        # round-trip each on remote accelerators), and the odometry
+        # chain update runs in host numpy.
+        pose_np, weak_np, frac_np = jax.device_get((pose, weak, frac))
+        pose_np = np.asarray(pose_np)
+        self._fracture.append(bool(frac_np))
+        rel_step = se2.np_relative(self._poses[-1][None], pose_np[None])[0]
         self._odo_chain.append(
-            np.asarray(se2.compose(jnp.asarray(self._odo_chain[-1]), rel_step))
+            se2.np_compose(
+                self._odo_chain[-1][None], rel_step[None]
+            )[0].astype(np.float32)
         )
         self._poses.append(pose_np)
-        self._weak.append(bool(weak))
+        self._weak.append(bool(weak_np))
         self._maybe_anchor(scan, self._t)
         self._t += 1
         if self._imap is not None:

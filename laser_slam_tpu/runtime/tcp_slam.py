@@ -93,8 +93,11 @@ class Frontend:
         else:
             prev = self.poses[-1]
             self._carry, (p, _, _, w, f) = self._step_fn(self._carry, scan)
-            pose = np.asarray(p)
-            weak, frac = bool(w), bool(f)
+            # One bulk fetch: three separate np.asarray/bool() casts pay
+            # three synchronous tunnel round-trips per scan.
+            pose, w_np, f_np = jax.device_get((p, w, f))
+            pose = np.asarray(pose)
+            weak, frac = bool(w_np), bool(f_np)
             # Raw chain: integrate the step relative, ignoring rebases.
             rel = se2.np_relative(prev[None], pose[None])[0]
             odo_pose = se2.np_compose(
