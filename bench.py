@@ -190,6 +190,15 @@ def bench_secondary(model, scans, rng):
     log_err(f"chunked loop verification: {out['verify_pairs_per_sec']} "
             f"pairs/s steady (chunk-program compile ~{t_first - steady:.1f}s)")
 
+    # --- particle-filter localization tick (BASELINE: batched PF) ---
+    # One fused predict+weight+resample+estimate program per tick — the
+    # reference evaluates 60 particles in a serial loop
+    # (particles.cpp:321-387); the vmapped tick runs 4096.
+    try:
+        out.update(bench_localization(model, scans))
+    except Exception as e:  # pragma: no cover
+        log_err("localization bench failed:", repr(e))
+
     # --- occupancy map update ---
     spec = spec_for_trajectory(np.zeros((2, 3)), model.max_range, 0.05)
     mfn = jax.jit(lambda g, s, p: integrate_scans(g, model, s, p))
@@ -206,6 +215,60 @@ def bench_secondary(model, scans, rng):
     )
     log_err(f"map update: {out['map_update_scans_per_sec']} scans/s")
     return out
+
+
+def bench_localization(model, scans, n_particles=4096, ticks=20):
+    """Particle-filter tracking rate at production cloud size."""
+    import jax
+    import jax.numpy as jnp
+
+    from laser_slam_tpu.core import se2
+    from laser_slam_tpu.localization import particle_filter as pf
+    from laser_slam_tpu.localization.raycast import likelihood_field
+    from laser_slam_tpu.mapping.occupancy import (
+        empty_grid, integrate_scans, spec_for_trajectory,
+    )
+
+    n_map = 400
+    sub = jax.tree.map(lambda x: x[:n_map], scans)
+    zeros = jnp.zeros((n_map, 3), jnp.float32)
+    spec = spec_for_trajectory(np.zeros((2, 3)), model.max_range, 0.1)
+    grid = jax.jit(lambda g, s, p: integrate_scans(g, model, s, p))(
+        empty_grid(spec), sub, zeros
+    )
+    field = likelihood_field(grid)
+
+    key = jax.random.PRNGKey(0)
+    state = pf.init_gaussian(key, jnp.zeros(3), n_particles)
+
+    @jax.jit
+    def tick(st, rel, r, v, k):
+        k1, k2 = jax.random.split(k)
+        st = pf.predict(st, rel, k1, sigma_xy=0.05, sigma_theta=0.03)
+        st = pf.update_field(st, field, grid, model, r, v)
+        st = pf.maybe_resample(st, k2)
+        return st, pf.estimate(st)
+
+    rel = jnp.asarray([0.02, 0.0, 0.005], jnp.float32)
+    r0 = scans.ranges[0]
+    v0 = ~scans.bad[0] & (r0 < model.max_range)
+    state, est = tick(state, rel, r0, v0, key)    # compile
+    np.asarray(est)
+    t0 = time.perf_counter()
+    for t in range(1, ticks + 1):
+        key, k = jax.random.split(key)
+        state, est = tick(
+            state, rel, scans.ranges[t % n_map], v0, k
+        )
+    np.asarray(est)                               # bound the work
+    dt = (time.perf_counter() - t0) / ticks
+    rate = n_particles / dt
+    log_err(f"pf localization: {rate:,.0f} particle-updates/s "
+            f"({1.0 / dt:.1f} ticks/s at {n_particles} particles)")
+    return {
+        "pf_particle_updates_per_sec": round(rate, 0),
+        "pf_ticks_per_sec": round(1.0 / dt, 1),
+    }
 
 
 def bench_slam_wall():
