@@ -172,7 +172,14 @@ class IncrementalBackend:
             m = self._tried.shape[0]
             tried[:m, :m] = self._tried
 
-        cfg_r = dataclasses.replace(self.cfg, rounds=1, cov_rounds=0)
+        cfg_r = dataclasses.replace(
+            self.cfg, rounds=1, cov_rounds=0,
+            # Incremental sessions accumulate many short-gap local
+            # accepts across their ~N/optimize_every rounds; a doubled
+            # bank keeps the long-gap global constraints from being
+            # evicted when the cap binds (SlamConfig.bank_cap).
+            bank_cap=(self.cfg.bank_cap or 2 * self.cfg.max_loops),
+        )
         ap_new, n_loops, _chi, bank, tried_j = run_correlative_rounds(
             cfg_r, submaps, jnp.asarray(ap), jnp.asarray(rel_seq),
             jnp.asarray(seq_w), bank=self._bank, tried=jnp.asarray(tried),

@@ -126,6 +126,18 @@ class SlamConfig:
     cov_rounds: int = 2            # trailing coverage-focused waves:
     #                                the whole candidate budget goes to
     #                                pairs touching zero-coverage anchors
+    bank_cap: int = 0              # loop-bank capacity (0 ⇒ max_loops).
+    #                                Online/incremental sessions verify
+    #                                far more short-gap local pairs than
+    #                                the offline wave schedule, and at
+    #                                cap=max_loops those high-quality
+    #                                local matches evict the long-gap
+    #                                global constraints (measured on the
+    #                                intel-lab loopback: correct-loop
+    #                                gap median 55 vs offline 125, 28
+    #                                anchors losing all correct
+    #                                coverage, ATE 6.5); the incremental
+    #                                backend doubles the bank instead
     weak_seq_weight: float = 1.0   # seq-edge weight factor on "weak"
     #                                (low-overlap deep-fallback) steps.
     #                                r3 used the reference's corridor
@@ -586,7 +598,7 @@ def run_correlative_rounds(
     a = int(anchor_poses.shape[0])
     if tried is None:
         tried = jnp.zeros((a, a), bool)
-    cap = cfg.max_loops
+    cap = cfg.bank_cap or cfg.max_loops
     if bank is None:
         bank = {
             "src": np.zeros(cap, np.int32),
@@ -607,6 +619,7 @@ def run_correlative_rounds(
     # enough to admit perceptually-aliased corridor matches 12-18 m
     # wrong (30 of 214 strict accepts); the adaptive gate rejects them.
     rate_hat = float(cfg.drift_rate)
+    rate_hat_uncov = float(cfg.drift_rate)
     odo_np = np.asarray(odo_anchor_poses)
     bid_np = np.asarray(block_id)
     for r in range(cfg.rounds + cfg.cov_rounds):
@@ -626,6 +639,24 @@ def run_correlative_rounds(
                 np.clip(1.5 * np.percentile(per_gap, 90),
                         0.02, cfg.drift_rate)
             )
+            # The UNCOVERED-pair escalation rate must come from loops
+            # that actually spanned long gaps: incremental sessions
+            # fill the bank with short local loops first, whose tiny
+            # per-gap corrections collapse rate_hat and shrink the
+            # trust radius BELOW real long-gap drift — the true global
+            # revisits then fail verification once and are blacklisted
+            # in `tried` forever (measured on the intel-lab loopback:
+            # 28-47 anchors lost all correct coverage, ATE 6.5 vs 0.84
+            # offline, whose round-0 full-budget wave closes the long
+            # loops before the estimator adapts).
+            long_g = gaps >= 50
+            if long_g.sum() >= 10:
+                rate_hat_uncov = float(
+                    np.clip(1.5 * np.percentile(per_gap[long_g], 90),
+                            0.02, cfg.drift_rate)
+                )
+            else:
+                rate_hat_uncov = float(cfg.drift_rate)
         # The drift-rate anneals: once a solve has absorbed the
         # loops found so far, pose distances are trustworthy at
         # tighter radii and the budget shifts to nearby pairs.
@@ -684,7 +715,7 @@ def run_correlative_rounds(
         loops, tried = verify_fn(
             anchor_poses, rate, submaps, wide, sig_gate, tried,
             jnp.asarray(cov), focus,
-            r0=jnp.asarray(rate_hat, dtype),
+            r0=jnp.asarray(rate_hat_uncov, dtype),
         )
         acc = np.asarray(loops.accept)
         t0 = _t(f"round {r} verify", t0)
@@ -706,6 +737,10 @@ def run_correlative_rounds(
         cov = np.concatenate([bank["cov"][bank["act"]],
                               np.asarray(loops.cov)[take]])
         # Strict loops outrank tentative ones when the cap binds.
+        # (A long-gap bonus was tried here and REJECTED: perceptual
+        # aliases are long-gap too, and boosting them cost intel-lab
+        # 0.84→1.54 offline. Online sessions instead raise bank_cap —
+        # see SlamConfig.bank_cap.)
         order = np.argsort(-(q + 10.0 * strict))[:cap]
         n = len(order)
         for key, val in (("src", src), ("dst", dst), ("rel", rel),
