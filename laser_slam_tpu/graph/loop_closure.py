@@ -287,6 +287,32 @@ def consistency_prune(loops: VerifiedLoops, anchor_poses: Array) -> Array:
     return loops.accept & (votes >= min_votes)
 
 
+def pcm_cycle_errors(
+    src: Array, dst: Array, rel: Array, odo_anchor_poses: Array
+) -> tuple[Array, Array, Array, Array]:
+    """Pairwise loop-vs-loop cycle errors through the raw odometry:
+    ``(et [C,C], er [C,C], gap_i, gap_j)`` where entry (a, b) is the
+    discrepancy of measuring loop b as ``odo(i_b→i_a) ⊕ L_a ⊕
+    odo(j_a→j_b)`` (the PCM consistency kernel, Mangelson et al.)."""
+    odo_ii = se2.relative(
+        odo_anchor_poses[src[:, None]], odo_anchor_poses[src[None, :]]
+    )                                                   # [C, C, 3] i_a→i_b
+    odo_jj = se2.relative(
+        odo_anchor_poses[dst[None, :]], odo_anchor_poses[dst[:, None]]
+    )                                                   # [C, C, 3] j_b→j_a
+    # L_b_pred[a, b] = inv(odo(i_a→i_b)) ⊕ L_a ⊕ odo(j_a→j_b)
+    la = jnp.broadcast_to(rel[:, None, :], odo_ii.shape)
+    pred = se2.compose(
+        se2.compose(se2.inverse(odo_ii), la), se2.inverse(odo_jj)
+    )
+    e = se2.relative(jnp.broadcast_to(rel[None, :, :], pred.shape), pred)
+    et = jnp.linalg.norm(e[..., :2], axis=-1)
+    er = jnp.abs(se2.normalize_angle(e[..., 2]))
+    gap_i = jnp.abs(src[:, None] - src[None, :]).astype(et.dtype)
+    gap_j = jnp.abs(dst[:, None] - dst[None, :]).astype(et.dtype)
+    return et, er, gap_i, gap_j
+
+
 def pcm_prune(
     loops: VerifiedLoops,
     odo_anchor_poses: Array,
@@ -297,6 +323,8 @@ def pcm_prune(
     rate_r: float = 0.03,
     cap_r: float = 0.4,
     votes_min: int = 3,
+    conflict_k: int = 0,
+    conflict_t: float = 3.0,
 ) -> Array:
     """Pairwise-consistent-measurement pruning (PCM, Mangelson et al.)
     with drift-scaled, capped gates and an absolute vote quorum.
@@ -327,25 +355,9 @@ def pcm_prune(
     """
     src = loops.src
     dst = loops.dst
-    # Predict loop b from loop a through odometry.
-    odo_ii = se2.relative(
-        odo_anchor_poses[src[:, None]], odo_anchor_poses[src[None, :]]
-    )                                                   # [C, C, 3] i_a→i_b
-    odo_jj = se2.relative(
-        odo_anchor_poses[dst[None, :]], odo_anchor_poses[dst[:, None]]
-    )                                                   # [C, C, 3] j_b→j_a
-    # L_b_pred[a, b] = inv(odo(i_a→i_b)) ⊕ L_a ⊕ odo(j_a→j_b)
-    la = jnp.broadcast_to(loops.rel[:, None, :], odo_ii.shape)
-    pred = se2.compose(
-        se2.compose(se2.inverse(odo_ii), la), se2.inverse(odo_jj)
+    et, er, gap_i, gap_j = pcm_cycle_errors(
+        src, dst, loops.rel, odo_anchor_poses
     )
-    e = se2.relative(jnp.broadcast_to(loops.rel[None, :, :], pred.shape),
-                     pred)
-    et = jnp.linalg.norm(e[..., :2], axis=-1)
-    er = jnp.abs(se2.normalize_angle(e[..., 2]))
-
-    gap_i = jnp.abs(src[:, None] - src[None, :]).astype(et.dtype)
-    gap_j = jnp.abs(dst[:, None] - dst[None, :]).astype(et.dtype)
     g = jnp.sqrt(gap_i + gap_j)
     thr_t = jnp.minimum(base_t + rate_t * g, cap_t)
     thr_r = jnp.minimum(base_r + rate_r * g, cap_r)
@@ -355,6 +367,30 @@ def pcm_prune(
     votes = jnp.sum(consistent, axis=1)
     n_acc = jnp.sum(ok)
     keep = ok & (votes >= jnp.minimum(n_acc, votes_min))
+
+    # Local conflict resolution: two loops whose endpoints nearly
+    # coincide (both index gaps ≤ conflict_k) measure the SAME revisit —
+    # the odometry connecting them is short and reliable, so a
+    # *meters-sized* cycle disagreement (> conflict_t, i.e. different
+    # alignment basins, not measurement noise) proves one of them wrong.
+    # The vote quorum above cannot separate them: a perceptual-alias
+    # cluster (parallel corridors offset by a repeating bay) is
+    # internally consistent and votes for itself (mit-cscail grew four
+    # mutually-supporting 6-8 m wrong loops around anchors (28-32 →
+    # 78-88) exactly this way, next to the true cluster for the same
+    # revisit). Let the basins fight: a loop outvoted by its gross
+    # local conflicters dies. conflict_t is deliberately far above
+    # thr_t — "sloppy-correct" loops (0.7-1.2 m off on low-overlap
+    # cross-heading revisits) are net-positive constraints (measured:
+    # oracle-removing every >0.5 m loop from the mit bank WORSENS ATE
+    # 1.29 → 1.57) and must not be treated as conflicting.
+    if conflict_k > 0:
+        gi_small = gap_i <= conflict_k
+        gj_small = gap_j <= conflict_k
+        local = gi_small & gj_small & ok[:, None] & ok[None, :]
+        support = jnp.sum(consistent & local, axis=1)   # includes self
+        conflict = jnp.sum(local & (et > conflict_t), axis=1)
+        keep = keep & (support >= conflict)
     # Degenerate case: nothing accepted → keep stays all-false.
     return keep
 
@@ -502,7 +538,9 @@ def verify_pairs_correlative(
     beam count — so one executable serves every log, laser model, and
     growing online session (the shape bucketing that keeps the remote
     TPU service's multi-minute compiles one-time)."""
-    from ..ops.correlative import correlative_top_peaks
+    from ..ops.correlative import (
+        build_likelihood_grid_points, correlative_top_peaks,
+    )
 
     if src is None:
         src = jnp.zeros(odo_rel.shape[0], jnp.int32)
@@ -511,37 +549,109 @@ def verify_pairs_correlative(
     init = jnp.zeros_like(odo_rel) if identity_init else odo_rel
 
     pw = refw_pts.shape[1]
+    pn = cur_pts.shape[1]
     stride = max(pw // coarse_points, 1)
+    nstride = max(pn // coarse_points, 1)
     tri_stride = max(pw // 384, 1)
 
-    def one(rw_p, rw_o, r_p, r_o, cw_p, cw_o, c_p, c_o, ip):
-        peaks, scores = correlative_top_peaks(
+    def one(rw_p, rw_o, r_p, r_o, cw_p, cw_o, c_p, c_o, ip, orel):
+        # Dual-query coarse search: the WIDE query carries long-gap
+        # same-direction revisits (context disambiguates corridor
+        # aliases — measured find-rate 62%→79% on intel-lab GT), but on
+        # cross/opposite-heading revisits the two wide clouds share only
+        # the crossing region and the wide query's out-of-overlap mass
+        # buries the true peak (mit-cscail: true basin absent from the
+        # top-32 on 9/12 uncovered GT-true pairs; the overlap-NORMALIZED
+        # narrow query restores 6 at rank 0-1). The wide lane keeps raw
+        # mean scoring: normalizing it rewards sharp low-overlap alias
+        # basins between unrelated places (measured on intel-lab:
+        # 20 m-wrong strict accepts binding the early uncovered span,
+        # ATE 0.90 → 4.5). Both lanes score against the same ref grid.
+        grid = build_likelihood_grid_points(
+            rw_p, rw_o, res=coarse_res, half_extent=12.8, blur_sigma=1.0
+        )
+        peaks_w, scores_w = correlative_top_peaks(
             rw_p, rw_o, cw_p[::stride], cw_o[::stride], ip,
             n_peaks=n_peaks, search_xy=search_xy,
             search_theta=search_theta, n_theta=n_theta, res=coarse_res,
+            overlap_norm=False, grid=grid,
         )
-        # Triage: short subsampled wide-vs-wide polish of every peak,
-        # score by goodness gated on error; keep the best basin.
-        tri = jax.vmap(
+        peaks_n, scores_n = correlative_top_peaks(
+            rw_p, rw_o, c_p[::nstride], c_o[::nstride], ip,
+            n_peaks=n_peaks, search_xy=search_xy,
+            search_theta=search_theta, n_theta=n_theta, res=coarse_res,
+            overlap_norm=True, grid=grid,
+        )
+        # Triage each peak list with ITS OWN query (subsampled polish,
+        # score by goodness gated on error): wide-query triage of a
+        # narrow-found cross-heading peak re-dilutes exactly what the
+        # narrow query recovered, and vice versa.
+        tri_w = jax.vmap(
             lambda pk: match_icp_points(
                 rw_p[::2], rw_o[::2], cw_p[::tri_stride], cw_o[::tri_stride],
                 pk, iters=12, max_corr=4.0 * coarse_res,
             )
-        )(peaks)
-        tri_score = jnp.where(
-            ~tri.fail & (tri.err < 2.0 * err_max), tri.goodness, -1.0
-        )
-        best = jnp.argmax(tri_score)
-        peak = peaks[best]
-        peak_score = scores[best]
-        tri_good = tri.goodness[best]
-        tri_err = tri.err[best]
+        )(peaks_w)
+        tri_n = jax.vmap(
+            lambda pk: match_icp_points(
+                rw_p[::2], rw_o[::2], c_p[::2], c_o[::2],
+                pk, iters=12, max_corr=4.0 * coarse_res,
+            )
+        )(peaks_n)
 
-        # Full polish of the winning basin against the wide reference.
-        fwd = match_icp_points(
-            rw_p, rw_o, c_p, c_o, tri.pose[best],
-            iters=30, max_corr=4.0 * coarse_res,
+        def best_of(tri, peaks, scores):
+            s = jnp.where(
+                ~tri.fail & (tri.err < 2.0 * err_max), tri.goodness, -1.0
+            )
+            b = jnp.argmax(s)
+            return tri.pose[b], peaks[b], scores[b], tri.goodness[b], tri.err[b]
+
+        cand_polish = [
+            best_of(tri_w, peaks_w, scores_w),
+            best_of(tri_n, peaks_n, scores_n),
+        ]
+        # Full polish of BOTH winning basins against the wide reference
+        # (narrow query, so the accepted pose anchors to the dst submap
+        # proper); the gated-better forward result wins the pair.
+        fwd2 = jax.vmap(
+            lambda ip_: match_icp_points(
+                rw_p, rw_o, c_p, c_o, ip_,
+                iters=30, max_corr=4.0 * coarse_res,
+            )
+        )(jnp.stack([cand_polish[0][0], cand_polish[1][0]]))
+        fscore = jnp.where(
+            ~fwd2.fail & (fwd2.err < err_max), fwd2.goodness, -1.0
         )
+        # The WIDE lane stays authoritative: whenever its polish alone
+        # clears the acceptance-quality bar, take it — the narrow lane
+        # exists only to rescue pairs the wide query buries (cross-
+        # heading crossings), not to outvote it. Letting the lanes
+        # compete by goodness re-admitted corridor slide-aliases on
+        # intel-lab (narrow polishes an alias basin marginally sharper
+        # than the truth's wide polish): ATE 0.90 → 4.59.
+        wide_pass = (
+            ~fwd2.fail[0]
+            & (fwd2.err[0] < err_max)
+            & (fwd2.goodness[0] >= quality_min)
+        )
+        # A narrow-lane rescue must also agree with the WIDE context: a
+        # true crossing still shares its crossing region between the two
+        # wide clouds (wide-triage goodness 0.24-0.58 measured on mit's
+        # GT-true rescues).
+        ctx = match_icp_points(
+            rw_p[::2], rw_o[::2], cw_p[::tri_stride], cw_o[::tri_stride],
+            cand_polish[1][0], iters=12, max_corr=4.0 * coarse_res,
+        )
+        ctx_ok = ~ctx.fail & (ctx.goodness >= 0.2) & (
+            ctx.err < 2.0 * err_max
+        )
+        narrow_ok = ctx_ok & ~fwd2.fail[1] & (fwd2.err[1] < err_max)
+        which = jnp.where(wide_pass | ~narrow_ok, 0, jnp.argmax(fscore))
+        fwd = jax.tree.map(lambda x: x[which], fwd2)
+        peak = jnp.stack([cand_polish[0][1], cand_polish[1][1]])[which]
+        peak_score = jnp.stack([cand_polish[0][2], cand_polish[1][2]])[which]
+        tri_good = jnp.stack([cand_polish[0][3], cand_polish[1][3]])[which]
+        tri_err = jnp.stack([cand_polish[0][4], cand_polish[1][4]])[which]
         # Reciprocal: the narrow src submap against the dst side's wide
         # context, from the inverse — a spurious plateau diverges, a
         # real surface alignment inverts exactly. Both legs must be
@@ -551,12 +661,12 @@ def verify_pairs_correlative(
             cw_p, cw_o, r_p, r_o, se2.inverse(fwd.pose),
             iters=30, max_corr=4.0 * coarse_res,
         )
-        return fwd, bwd, peak, peak_score, tri_good, tri_err
+        return fwd, bwd, peak, peak_score, tri_good, tri_err, which
 
-    fwd, bwd, peak, peak_score, tri_good, tri_err = _chunked_vmap(
+    fwd, bwd, peak, peak_score, tri_good, tri_err, lane = _chunked_vmap(
         one,
         (refw_pts, refw_ok, ref_pts, ref_ok, curw_pts, curw_ok,
-         cur_pts, cur_ok, init),
+         cur_pts, cur_ok, init, odo_rel),
         chunk,
     )
 
@@ -588,6 +698,16 @@ def verify_pairs_correlative(
     accept = valid
     for m in gates.values():
         accept = accept & m
+    # Narrow-lane rescues NEVER reach the strict tier. On self-similar
+    # buildings the narrow query mass-produces drift-confirming aliases
+    # that pass every per-pair gate including reciprocity (measured on
+    # intel-lab round 0: (17,234)/(21,234)/(26,234) at 15-24 m true
+    # error, goodness 0.70-0.80, full gate pass — admitting them as
+    # strict gave ATE 6.5-6.6 under every per-pair gating variant
+    # tried). Their only safe entry is the tentative tier below, whose
+    # residual-under-solution promotion is a topological check no
+    # single-pair evidence can substitute for.
+    accept = accept & (lane == 0)
     # Strong-accept bypass of the reciprocal gate: the backward leg
     # occasionally diverges off a *correct* alignment (measured on
     # intel-lab GT: pairs at 2 cm true error with goodness 0.93 killed
@@ -595,8 +715,13 @@ def verify_pairs_correlative(
     # perceptual aliasing produces (measured wrong-match goodness ≤
     # 0.83), so it stands on its own; PCM + residual trim remain as
     # backstops.
+    # The bypass is wide-lane-only: "beyond what aliasing produces" was
+    # measured for wide-context matches; a narrow slide-alias can polish
+    # arbitrarily sharp, so narrow-lane rescues must pass EVERY gate
+    # including reciprocity.
     strong = (
         valid
+        & (lane == 0)
         & gates["coarse_ok"]
         & gates["fwd_ok"]
         & gates["near_peak"]
@@ -634,6 +759,7 @@ def verify_pairs_correlative(
     gates["coarse_score"] = peak_score
     gates["tri_goodness"] = tri_good      # wide-vs-wide context overlap
     gates["tri_err"] = tri_err
+    gates["lane"] = lane                  # 0 = wide, 1 = narrow rescue
     gates["goodness"] = fwd.goodness
     gates["err"] = fwd.err
     gates["cycle_t"] = cyc_t

@@ -213,6 +213,9 @@ def correlative_score_volume(
     res: float,
     half_extent: float,
     base_xy: Array,
+    overlap_norm: bool = False,
+    overlap_floor: float = 0.35,
+    overlap_radius: float = 1.5,
 ) -> Array:
     """Score volume ``[K, T, T]`` (θ, y-shift, x-shift) of mean point
     likelihood, computed as one MXU convolution.
@@ -226,6 +229,21 @@ def correlative_score_volume(
     dense MACs the MXU executes at near peak, ~100× the gather path.
     Under ``vmap`` (batched loop candidates) XLA lowers this to one
     grouped convolution.
+
+    ``overlap_norm`` divides by the number of query points that land in
+    *ref-covered* territory (the occupied raster dilated by
+    ``overlap_radius``) instead of by all valid points. With wide
+    (±wing-submap) clouds on both sides, a cross- or opposite-heading
+    revisit only overlaps where the two passes actually cross; mean-
+    over-all-points dilutes the true alignment by every point the ref
+    never saw, and corridor aliases that keep more raw wall mass inside
+    the grid outscore it (measured on mit-cscail's uncovered revisit
+    pairs: score at the GT pose reached 0.10-0.83× the volume max and
+    the true basin was absent from the top-32 peaks on 9 of 12 pairs).
+    ``overlap_floor`` keeps the denominator ≥ that fraction of the
+    valid-point count so a tiny accidental overlap cannot claim a high
+    normalized score. Both convolutions ride the same kernel raster
+    (batch-2 conv), so the MXU cost is unchanged.
     """
     g = grid.shape[0]
     dtype = grid.dtype
@@ -248,15 +266,36 @@ def correlative_score_volume(
         jnp.where(inb, 1.0, 0.0).reshape(-1)
     ).reshape(k, 1, g, g)
 
-    pad = jnp.pad(grid, n_steps)[None, None]              # [1, 1, G+2W, G+2W]
-    vol = jax.lax.conv_general_dilated(
-        pad,
+    n_valid = jnp.maximum(jnp.sum(ok), 1).astype(dtype)
+    if not overlap_norm:
+        pad = jnp.pad(grid, n_steps)[None, None]          # [1, 1, G+2W, G+2W]
+        vol = jax.lax.conv_general_dilated(
+            pad,
+            raster,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]                                              # [K, T, T] (y, x)
+        return vol / n_valid
+
+    # Coverage mask: dilated occupancy (any cell within overlap_radius
+    # of ref mass counts as territory the ref observed).
+    w = 2 * max(int(round(overlap_radius / res)), 1) + 1
+    cover = jax.lax.reduce_window(
+        (grid > 0.05).astype(dtype), 0.0, jax.lax.max,
+        (w, w), (1, 1), "SAME",
+    )
+    both = jnp.stack([grid, cover])
+    pad = jnp.pad(both, ((0, 0), (n_steps, n_steps), (n_steps, n_steps)))
+    out = jax.lax.conv_general_dilated(
+        pad[:, None],                                     # [2, 1, G+2W, G+2W]
         raster,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]                                                  # [K, T, T] (y, x)
-    denom = jnp.maximum(jnp.sum(ok), 1).astype(dtype)
+    )                                                     # [2, K, T, T]
+    vol, n_overlap = out[0], out[1]
+    denom = jnp.maximum(n_overlap, overlap_floor * n_valid)
     return vol / denom
 
 
@@ -273,9 +312,13 @@ def correlative_top_peaks(
     res: float = 0.3,
     half_extent: float = 12.8,
     blur_sigma: float = 1.0,
+    overlap_norm: bool = False,
+    grid: Array | None = None,
 ) -> tuple[Array, Array]:
     """Top ``n_peaks`` non-max-suppressed local maxima of the correlative
-    score volume: ``(poses [K, 3], scores [K])``, best first.
+    score volume: ``(poses [K, 3], scores [K])``, best first. Pass a
+    prebuilt ``grid`` to amortize rasterization across several query
+    clouds against the same reference.
 
     Partial-overlap matching (loop closure between submaps that share
     only part of their coverage) routinely puts the *true* alignment at
@@ -286,10 +329,11 @@ def correlative_top_peaks(
     not just the winner. NMS window: ±2 rotation samples × ±1 cell.
     """
     dtype = cur_pts.dtype
-    grid = build_likelihood_grid_points(
-        ref_pts, ref_ok, res=res, half_extent=half_extent,
-        blur_sigma=blur_sigma,
-    )
+    if grid is None:
+        grid = build_likelihood_grid_points(
+            ref_pts, ref_ok, res=res, half_extent=half_extent,
+            blur_sigma=blur_sigma,
+        )
     thetas = init_pose[2] + jnp.linspace(
         -search_theta, search_theta, n_theta, dtype=dtype
     )
@@ -298,7 +342,7 @@ def correlative_top_peaks(
 
     vol = correlative_score_volume(
         grid, cur_pts, cur_ok, thetas, n_steps, res, half_extent,
-        init_pose[:2],
+        init_pose[:2], overlap_norm=overlap_norm,
     )                                                     # [K, Ty, Tx]
     pooled = jax.lax.reduce_window(
         vol, -jnp.inf, jax.lax.max, (5, 3, 3), (1, 1, 1), "SAME"

@@ -283,43 +283,64 @@ def odometry_keyframe(
 
     idx = np.nonzero(need)[0]
     if idx.size:
-        rel = se2.relative(poses[:-1], poses[1:])     # [T-1]
         pad = (-idx.size) % deep_chunk
         idxp = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-        rematch = jax.jit(
-            lambda r, c, p, b: _deep_rematch_chunk(model, r, c, p, b)
-        )
+
+        # Everything here is fused into TWO compiled programs (per-chunk
+        # rematch incl. its gathers, and one final rechain-apply): the
+        # previous shape — eager per-field gathers, per-chunk
+        # ``rel.at[].set`` updates, an eager ``se2.relative`` — paid a
+        # remote-accelerator round-trip per op through the axon tunnel
+        # (~40 s of pure dispatch latency on a 338-step mit-cscail
+        # rematch; the compute itself is ~3 s).
+        def _rematch_gather(sc, ps, sl, big):
+            ref_b = jax.tree.map(lambda x: x[sl], sc)
+            cur_b = jax.tree.map(lambda x: x[sl + 1], sc)
+            prior_b = se2.relative(ps[sl], ps[sl + 1])
+            return _deep_rematch_chunk(model, ref_b, cur_b, prior_b, big)
+
+        rematch = jax.jit(_rematch_gather)
+        pose_np = np.zeros((idxp.size, 3), np.float32)
+        fail_np = np.zeros(idxp.size, bool)
+        weak_np = np.zeros(idxp.size, bool)
+        frac_np = np.zeros(idxp.size, bool)
+        outs = []
         for i in range(0, idxp.size, deep_chunk):
-            tc = _time.perf_counter()
             sl = idxp[i:i + deep_chunk]
-            ref_b = jax.tree.map(lambda x: x[sl], scans)      # scan[t-1]... sl is step
-            cur_b = jax.tree.map(lambda x: x[sl + 1], scans)
-            prior_b = rel[jnp.asarray(sl)]
-            big_b = jnp.asarray(dt_big[sl])
-            pose_b, fail_b, weak_b, frac_b = jax.tree.map(
-                np.asarray, rematch(ref_b, cur_b, prior_b, big_b)
+            outs.append(
+                rematch(scans, poses, jnp.asarray(sl),
+                        jnp.asarray(dt_big[sl]))
             )
-            if _verbose:
-                print(f"[odo]   chunk {i // deep_chunk}: "
-                      f"{_time.perf_counter() - tc:.1f}s",
-                      file=sys.stderr, flush=True)
-            n_real = min(i + deep_chunk, idx.size) - i
-            steps = idxp[i:i + n_real]
-            ok = ~fail_b[:n_real]
-            new_rel = jnp.where(
-                ok[:, None], jnp.asarray(pose_b[:n_real]), 0.0
-            )
-            rel = rel.at[jnp.asarray(steps)].set(new_rel)
-            weak[steps] = weak_b[:n_real] | ~ok | dt_big[steps]
-            disc[steps] = ~ok
-            frac[steps] = frac_b[:n_real] | ~ok
-        # Jit the re-chain: the associative scan dispatched eagerly is
-        # hundreds of tiny ops, each paying a remote-accelerator
-        # round-trip (measured 129 s on a 1050-step log via the axon
-        # tunnel vs 1.9 s compiled).
-        poses = jax.jit(
-            lambda r: jnp.concatenate([zero[None], se2.chain(r)], axis=0)
-        )(rel)
+        # One bulk fetch after all chunks are queued.
+        outs = jax.device_get(outs)
+        for k, (pose_b, fail_b, weak_b, frac_b) in enumerate(outs):
+            i = k * deep_chunk
+            pose_np[i:i + deep_chunk] = pose_b
+            fail_np[i:i + deep_chunk] = fail_b
+            weak_np[i:i + deep_chunk] = weak_b
+            frac_np[i:i + deep_chunk] = frac_b
+        if _verbose:
+            print(f"[odo]   {len(outs)} chunks fetched: "
+                  f"{_time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        ok = ~fail_np[: idx.size]
+        weak[idx] = weak_np[: idx.size] | ~ok | dt_big[idx]
+        disc[idx] = ~ok
+        frac[idx] = frac_np[: idx.size] | ~ok
+
+        def _apply_rechain(ps, steps, new_rel, use):
+            r = se2.relative(ps[:-1], ps[1:])
+            upd = jnp.where(use[:, None], new_rel, r[steps])
+            r = r.at[steps].set(upd)
+            return jnp.concatenate([zero[None], se2.chain(r)], axis=0)
+
+        poses = jax.jit(_apply_rechain)(
+            poses, jnp.asarray(idxp),
+            jnp.asarray(pose_np),
+            jnp.asarray(
+                np.concatenate([ok, np.zeros(pad, bool)])
+            ),
+        )
         jax.block_until_ready(poses)
         if _verbose:
             print(f"[odo] deep rematch ({idx.size} steps): "

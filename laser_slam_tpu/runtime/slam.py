@@ -111,18 +111,46 @@ class SlamConfig:
     n_peaks: int = 8               # polished correlative peaks per pair
     pcm_rate: float = 0.25         # [m/√anchor-step] PCM drift tolerance
     #                                (random-walk model; see pcm_prune)
+    pcm_conflict_k: int = 0        # local-conflict window (anchor steps)
+    #                                for same-revisit basin fights in
+    #                                pcm_prune; 0 disables. Measured on
+    #                                mit-cscail: killing even the 6-8 m
+    #                                aliased accepts WORSENS ATE (1.35 →
+    #                                1.39 at k=6; the oracle that removes
+    #                                every >0.5 m loop gives 1.57) — on
+    #                                loop-starved logs imprecise
+    #                                constraints beat none, so the
+    #                                default keeps the fight off and
+    #                                relies on DCS + residual trim.
     trim_residual_t: float = 1.0   # [m] post-solve loop-residual trim
     trim_residual_r: float = 0.3   # [rad]
     promote_residual_t: float = 0.7  # [m] tentative-loop promotion gate
     promote_residual_r: float = 0.2  # [rad]
-    promote_tentative: bool = False  # unlock loose-tier loops whose
-    #                                residual under the solved estimate is
-    #                                tiny. With the r3 retuned strict gates
-    #                                the strict tier absorbs the correct
-    #                                borderline matches and the remaining
-    #                                tentatives are ~92% junk — promotion
-    #                                measured ATE 4.27 vs 3.95 without
-    #                                (replay on the r3 intel bank)
+    promote_anchored_t: float = 3.0  # [m] residual bound for ANCHORED
+    #                                tentatives (odometry-cycle-
+    #                                consistent with ≥2 strict loops):
+    #                                drift-sized, since such loops are
+    #                                allowed to correct a still-drifted
+    #                                span rather than merely confirm a
+    #                                converged one
+    promote_anchored_r: float = 0.3  # [rad]
+    promote_tentative: bool = True   # unlock loose-tier loops that are
+    #                                (a) odometry-cycle-consistent with
+    #                                ≥2 active strict loops (ANCHORED —
+    #                                see _solve_with_bank) and (b) within
+    #                                a residual bound of the solved
+    #                                estimate. Residual-only promotion
+    #                                (r3) promoted exactly the drift-
+    #                                consistent wrong tentatives and was
+    #                                shipped off (measured 4.27 vs 3.95
+    #                                on the r3 intel bank; 1.48 vs 1.26
+    #                                on r5 mit-cscail); the anchored form
+    #                                measures intel 0.859 (=), fr079
+    #                                0.206 (=, promoting ~120 of its 135
+    #                                GT-correct tentatives), mit-cscail
+    #                                1.18 vs 1.26 — the narrow-lane
+    #                                cross-heading rescues only activate
+    #                                through this path
     cov_rounds: int = 2            # trailing coverage-focused waves:
     #                                the whole candidate budget goes to
     #                                pairs touching zero-coverage anchors
@@ -389,15 +417,46 @@ def _solve_with_bank(
         src=bank_src, dst=bank_dst, rel=bank_rel, quality=bank_quality,
         accept=bank_active,
     )
-    keep = pcm_prune(bank, odo_anchor_poses, rate_t=cfg.pcm_rate)
+    keep = pcm_prune(bank, odo_anchor_poses, rate_t=cfg.pcm_rate,
+                     conflict_k=cfg.pcm_conflict_k)
+
+    # Anchored promotion support: a tentative may only ever promote when
+    # it is ALSO odometry-cycle-consistent (PCM kernel) with at least
+    # two active strict loops — topological support that does not
+    # depend on the current estimate. The residual-only gate promotes
+    # exactly the drift-consistent wrong tentatives in still-drifted
+    # regions (their residual is ~0 by construction) while the true
+    # rescues there sit meters off the unconverged estimate (measured
+    # on mit-cscail: residual-only promotion 1.48 vs 1.26 baseline).
+    from ..graph.loop_closure import pcm_cycle_errors
+
+    et_b, er_b, gi_b, gj_b = pcm_cycle_errors(
+        bank_src, bank_dst, bank_rel, odo_anchor_poses
+    )
+    g_b = jnp.sqrt(gi_b + gj_b)
+    thr_tb = jnp.minimum(0.3 + cfg.pcm_rate * g_b, 2.0)
+    thr_rb = jnp.minimum(0.15 + 0.03 * g_b, 0.4)
+    cons_b = (et_b <= thr_tb) & (er_b <= thr_rb)
+    strict_on = bank_active & bank_strict
+    anchored = (
+        jnp.sum(cons_b & strict_on[None, :], axis=1) >= 2
+    )
 
     def promoted(poses):
         pred = se2.relative(poses[bank_src], poses[bank_dst])
         d = se2.relative(bank_rel, pred)
-        near = (
-            jnp.linalg.norm(d[:, :2], axis=-1) < cfg.promote_residual_t
-        ) & (jnp.abs(se2.normalize_angle(d[:, 2])) < cfg.promote_residual_r)
-        return bank_active & ~bank_strict & near
+        dt = jnp.linalg.norm(d[:, :2], axis=-1)
+        dr = jnp.abs(se2.normalize_angle(d[:, 2]))
+        near = (dt < cfg.promote_residual_t) & (dr < cfg.promote_residual_r)
+        # Anchored tentatives may CORRECT the estimate (their residual
+        # is the local drift, not an error signal), so their residual
+        # bound is drift-sized rather than convergence-sized.
+        near_anchored = (dt < cfg.promote_anchored_t) & (
+            dr < cfg.promote_anchored_r
+        )
+        return bank_active & ~bank_strict & anchored & (
+            near | near_anchored
+        )
 
     # Strict loops only for the first solve: promotion under a still-
     # drifted estimate admits exactly the drift-consistent (wrong)

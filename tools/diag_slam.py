@@ -22,6 +22,9 @@ def main() -> None:
     ap.add_argument("--censi", action="store_true",
                     help="enable use_censi_info (per-loop information "
                          "from the polish ICP covariance)")
+    ap.add_argument("--promote", action="store_true",
+                    help="enable promote_tentative (residual-gated "
+                         "promotion of loose-tier loops)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.cpu:
@@ -45,6 +48,8 @@ def main() -> None:
         cfg = __import__("dataclasses").replace(cfg, rounds=args.rounds)
     if args.censi:
         cfg = __import__("dataclasses").replace(cfg, use_censi_info=True)
+    if args.promote:
+        cfg = __import__("dataclasses").replace(cfg, promote_tentative=True)
 
     d: dict = {}
     t0 = time.time()
