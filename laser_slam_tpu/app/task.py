@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import threading
 from collections import deque
 
 import jax
@@ -54,6 +55,14 @@ class TaskEngine:
 
     def __post_init__(self):
         self.state = TaskState.IDLE
+        # Guards mission state against portal/watchdog threads: the
+        # portal's on_repath/on_slow_stop/on_cancel handlers (and the
+        # heartbeat watchdog) mutate _goals/_path concurrently with the
+        # control thread's step(); an unsynchronized clear landing
+        # between step()'s state check and its _goals[0] read raises
+        # IndexError and kills the control loop. Reentrant because
+        # replace_path → add_path → add_goal all take it.
+        self._lock = threading.RLock()
         self._goals: deque[np.ndarray] = deque()
         self._speed_limits: deque[float] = deque()  # per-leg caps
         self._path: np.ndarray | None = None
@@ -77,6 +86,10 @@ class TaskEngine:
     # -- mission API ------------------------------------------------------
 
     def add_goal(self, xy, speed_limit: float | None = None) -> None:
+        with self._lock:
+            self._add_goal_locked(xy, speed_limit)
+
+    def _add_goal_locked(self, xy, speed_limit: float | None = None) -> None:
         self._goals.append(np.asarray(xy, np.float32))
         self._speed_limits.append(
             self.v_des if speed_limit is None else float(speed_limit)
@@ -97,27 +110,30 @@ class TaskEngine:
     def replace_path(self, points, speed_limits=None) -> None:
         """Replace the current mission with a new path mid-run — the
         RE_TASK_PATH command (Task.cpp:561-588: freeze, clear, reload)."""
-        self._goals.clear()
-        self._speed_limits.clear()
-        self._path = None
-        self.state = TaskState.IDLE
-        self.add_path(points, speed_limits)
+        with self._lock:
+            self._goals.clear()
+            self._speed_limits.clear()
+            self._path = None
+            self.state = TaskState.IDLE
+            self.add_path(points, speed_limits)
 
     def slow_stop(self) -> None:
         """Decelerate to a stop over ``stop_decel_ticks`` and clear the
         mission — the SLOW_BREAK / Stop-Robot-Slowly command
         (Task.cpp:550-555, MainCtrl_Define.h:86)."""
-        self._goals.clear()
-        self._speed_limits.clear()
-        self._path = None
-        self._stop_tick = self.stop_decel_ticks
-        self.state = TaskState.STOPPING
+        with self._lock:
+            self._goals.clear()
+            self._speed_limits.clear()
+            self._path = None
+            self._stop_tick = self.stop_decel_ticks
+            self.state = TaskState.STOPPING
 
     def cancel(self) -> None:
-        self._goals.clear()
-        self._speed_limits.clear()
-        self._path = None
-        self.state = TaskState.IDLE
+        with self._lock:
+            self._goals.clear()
+            self._speed_limits.clear()
+            self._path = None
+            self.state = TaskState.IDLE
 
     def velocity_schedule(self):
         """Feed-forward wheel-speed schedule for the current planned
@@ -129,10 +145,12 @@ class TaskEngine:
         this is the open-loop profile for lower-level controllers."""
         from ..nav.trajectory import plan_velocity_schedule
 
-        if self._path is None:
-            return None
-        pts = self._path[: self._n_valid]
-        return plan_velocity_schedule(pts, v_max=self._leg_v)
+        with self._lock:
+            if self._path is None:
+                return None
+            pts = self._path[: self._n_valid]
+            leg_v = self._leg_v
+        return plan_velocity_schedule(pts, v_max=leg_v)
 
     def update_grid(self, grid: OccupancyGrid) -> None:
         """Swap in a fresher map (the SLAM global map)."""
@@ -144,7 +162,13 @@ class TaskEngine:
     # -- control tick -----------------------------------------------------
 
     def step(self, pose, scan: Scan) -> ControlCommand:
-        """One control tick; returns the motor command (v=0 when idle)."""
+        """One control tick; returns the motor command (v=0 when idle).
+        Holds the mission lock for the whole tick so portal commands
+        apply atomically between ticks, never inside one."""
+        with self._lock:
+            return self._step_locked(pose, scan)
+
+    def _step_locked(self, pose, scan: Scan) -> ControlCommand:
         pose = np.asarray(pose, np.float32)
         stop = ControlCommand(
             v=jnp.zeros(()), omega=jnp.zeros(()), zone=jnp.asarray(-1, jnp.int32)
@@ -154,7 +178,12 @@ class TaskEngine:
             # Linear deceleration ramp (Stop-Robot-Slowly semantics).
             self._stop_tick -= 1
             if self._stop_tick <= 0:
-                self.state = TaskState.IDLE
+                # Goals queued DURING the ramp start their mission once
+                # the ramp completes (ADVICE r4: they were stranded —
+                # add_goal only flips IDLE/DONE states).
+                self.state = (
+                    TaskState.PLANNING if self._goals else TaskState.IDLE
+                )
                 return stop
             frac = self._stop_tick / self.stop_decel_ticks
             return ControlCommand(

@@ -168,9 +168,14 @@ def milestone_select(traversable: Array) -> Milestone:
         ).astype(dtype)
 
     # 4-waypoint dodge path like the reference (PathPlanning.cpp:432-448):
-    # robot → short straight nudge → line target → milestone.
+    # robot → short nudge → line target → milestone. The nudge waypoint
+    # lies ON the verified robot→target line (interpolated at the nudge
+    # row) — a column-c0 nudge would traverse cells the vectorized
+    # line-of-sight test never checked (ADVICE r4).
     p0 = jnp.zeros(2, dtype)
-    p1 = rc_to_xy(jnp.minimum(end_row, 5.0), c0)
+    nudge_row = jnp.minimum(end_row, 5.0)
+    t_n = (nudge_row - r0) / jnp.maximum(end_row - r0, 1e-6)
+    p1 = rc_to_xy(nudge_row, c0 + (mid_col - c0) * t_n)
     p2 = rc_to_xy(end_row, mid_col)
     p3 = rc_to_xy(far_row.astype(dtype), mid_col)
     path = jnp.stack([p0, p1, p2, p3])

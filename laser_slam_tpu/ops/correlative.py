@@ -156,11 +156,16 @@ def match_correlative(
     steps = jnp.arange(-n_steps, n_steps + 1, dtype=dtype) * res
 
     if conv:
-        # MXU path: the whole (θ, ty, tx) volume as one convolution —
-        # identical sums to the gather formulation (each point's cell
-        # value at every shift), ~100× faster on TPU. The odometry deep
-        # fallback moved here from the lax.map gather loop: 19 s → <1 s
-        # per 128-pair chunk (measured on mit-cscail flagged steps).
+        # MXU path: the whole (θ, ty, tx) volume as one convolution,
+        # ~100× faster on TPU than the gather loop. The sums match the
+        # gather formulation except at the grid boundary: a point whose
+        # rotated base cell falls outside the raster is dropped for ALL
+        # shifts, while the gather path still credits it at shifts that
+        # bring it back in bounds — scores can differ slightly for
+        # boundary points (ADVICE r4), which only matters on marginal
+        # pairs. The odometry deep fallback moved here from the lax.map
+        # gather loop: 19 s → <1 s per 128-pair chunk (measured on
+        # mit-cscail flagged steps).
         score = jnp.swapaxes(
             correlative_score_volume(
                 grid, pts, valid, thetas, n_steps, res,
