@@ -92,6 +92,11 @@ class SlamV1:
     n_particles: int = 1024
     local_map_radius: float = 5.0
     seed: int = 0
+    async_backend: bool = True  # the deployable surface overlaps
+    #                             frontend and backend by default, like
+    #                             the reference's thread topology
+    #                             (slam.cpp:40-67); scan feeds never
+    #                             block on a backend round
 
     def __post_init__(self):
         self._running = False
@@ -111,6 +116,7 @@ class SlamV1:
             self._slam = OnlineSlam(
                 self.model, cfg=self.cfg,
                 on_pose=self.callbacks.on_slam_pose, use_fusion=True,
+                async_backend=self.async_backend,
             )
         elif self.work_mode == "localization":
             if self.localization_grid is None:
@@ -121,6 +127,12 @@ class SlamV1:
         self._running = True
 
     def stop(self) -> None:
+        # Drain the in-flight/pending async backend rounds before the
+        # lights go out (the reference's shutdown cascade joins its
+        # threads, slam.cpp:76-84); skip the final full-session round —
+        # stop() is a lifecycle call, not a map-finalization request.
+        if self._slam is not None:
+            self._slam.flush(final_round=False)
         self._running = False
 
     # -- sensor inputs ----------------------------------------------------

@@ -58,6 +58,21 @@ class OnlineSlam:
     #                                     corrections apply on completion
 
     def __post_init__(self):
+        # Scheduler bookkeeping (deterministic — tests assert on these,
+        # not on wall-clock): requested = backend rounds asked for;
+        # started = worker rounds actually launched; applied = results
+        # spliced back; coalesced = requests that found a round already
+        # in flight and were folded into ONE pending follow-up (the
+        # backlog is bounded at a single pending round by construction).
+        self.async_stats = {
+            "requested": 0, "started": 0, "applied": 0, "coalesced": 0,
+            # Scans fed between a round's snapshot and its application —
+            # > 0 proves the frontend ran while the backend was in
+            # flight (the deterministic overlap witness; wall-clock
+            # ratios flake on loaded CI hosts).
+            "overlap_scans_max": 0,
+        }
+        self._pending_round = False
         self._carry: _OdoCarry | None = None
         self._step_fn = jax.jit(lambda c, s: _step(self.model, c, s))
         self._scans: list[Scan] = []        # anchor scans (host refs)
@@ -369,11 +384,22 @@ class OnlineSlam:
     # that arrived while the round was in flight.
 
     def _schedule_backend(self) -> None:
+        self.async_stats["requested"] += 1
+        if self._bg_thread is not None and self._bg_thread.is_alive():
+            # Single-flight with a BOUNDED backlog: fold this request
+            # into one pending follow-up round launched when the
+            # in-flight one completes. Plain skipping (r4) silently
+            # searched fewer loops under load; queueing every request
+            # would let the backlog grow without bound.
+            self._pending_round = True
+            self.async_stats["coalesced"] += 1
+            return
+        self._poll_backend()             # apply any finished result first
+        self._launch_round()
+
+    def _launch_round(self) -> None:
         import threading
 
-        if self._bg_thread is not None and self._bg_thread.is_alive():
-            return                       # single-flight: skip, not queue
-        self._poll_backend()             # apply any finished result first
         snap = (
             list(self._all_scans), list(self._poses),
             list(self._odo_chain), list(self._weak), list(self._fracture),
@@ -385,27 +411,48 @@ class OnlineSlam:
             if rebased is not None:
                 self._bg_result = (rebased, t_snap)
 
+        self.async_stats["started"] += 1
         self._bg_thread = threading.Thread(target=work, daemon=True)
         self._bg_thread.start()
 
     def _poll_backend(self) -> None:
         res = self._bg_result
         if res is None:
+            if (
+                self._pending_round
+                and self._bg_thread is not None
+                and not self._bg_thread.is_alive()
+            ):
+                # The in-flight round finished without a correction;
+                # honor the pending request now.
+                self._pending_round = False
+                self._launch_round()
             return
         self._bg_result = None
         rebased, t_snap = res
         self.n_loops = self._backend.n_loops
+        self.async_stats["applied"] += 1
+        self.async_stats["overlap_scans_max"] = max(
+            self.async_stats["overlap_scans_max"], len(self._poses) - t_snap
+        )
         self._apply_rebased(rebased, t_snap)
+        if self._pending_round and not self._bg_thread.is_alive():
+            self._pending_round = False
+            self._launch_round()
 
     def flush(self, final_round: bool = True) -> None:
-        """Wait for the in-flight async round (if any), apply it, then
-        run one synchronous round over the complete session — scans fed
+        """Wait for the in-flight async round (if any), apply it (plus
+        the one pending follow-up, if a request was coalesced), then run
+        one synchronous round over the complete session — scans fed
         while the last async round was in flight have not been searched
         for loops yet (the reference's server keeps optimizing after the
         stream ends, tcp_slam/main_server.cpp)."""
-        if self._bg_thread is not None:
+        while self._bg_thread is not None and (
+            self._bg_thread.is_alive() or self._bg_result is not None
+            or self._pending_round
+        ):
             self._bg_thread.join()
-        self._poll_backend()
+            self._poll_backend()
         if final_round:
             self._backend_round(final=True)
 
