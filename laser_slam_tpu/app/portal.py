@@ -7,6 +7,10 @@ state. The reference's binary command codes (MainCtrl_Define.h:82-87)
 map onto newline-delimited UTF-8 verbs, one command per line:
 
     GOTO <x> <y>           queue a navigation goal (meters)
+    MISSION <leg>;<leg>... scripted mission: each leg is
+                           "x y [speed [action [arg [retries]]]]"
+                           (the reference's task parameter rows,
+                           Task.cpp:509-548, C_C.h:78)
     PATH <x1> <y1> ...     queue a multi-waypoint task path
                            (NEW_TASK_PATH 0x0001, Task.cpp:518-548)
     REPATH <x1> <y1> ...   replace the running mission mid-task
@@ -17,10 +21,18 @@ map onto newline-delimited UTF-8 verbs, one command per line:
     POSE                   -> "POSE x y theta"
     STATE                  -> "STATE <task-state>"
     PING                   -> "PONG"
+    ERR                    -> "ERR <code> <name>" system error state
+                           (ErrList, C_C.cpp:952; codes slam_v1.h:16-21)
+    MAP                    -> "MAP <w> <h> <res> <zlib+base64 cells>"
+                           occupancy fetch (GRID_MAP_IN 0x0010 role)
     HEART                  -> "BEAT"; arms the heartbeat watchdog
                            (HEART_BIT 0xFFF0: the reference's portal
                            supervises the console link and stops the
                            robot when the beat goes silent)
+
+Asynchronous events are PUSHED to every connected console with an
+``EVENT`` prefix — ``EVENT REACHED <leg> <x> <y>`` mirrors the
+ROB_REACH_MIL milestone notification (MainCtrl_Define.h:84).
 
 Runs on a daemon thread; handlers are supplied by the composition root.
 """
@@ -47,6 +59,9 @@ class NetPortal:
         on_slow_stop: Callable[[], None] | None = None,
         on_heartbeat_lost: Callable[[], None] | None = None,
         heartbeat_timeout: float = 3.0,
+        on_mission: Callable[[list], None] | None = None,
+        get_error: Callable[[], tuple] | None = None,
+        get_map: Callable[[], tuple] | None = None,
     ):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -61,6 +76,11 @@ class NetPortal:
         self._on_repath = on_repath
         self._on_slow_stop = on_slow_stop
         self._on_heartbeat_lost = on_heartbeat_lost
+        self._on_mission = on_mission
+        self._get_error = get_error
+        self._get_map = get_map
+        self._clients: list = []
+        self._clients_lock = threading.Lock()
         self._heartbeat_timeout = heartbeat_timeout
         self._last_beat: float | None = None  # armed by the first HEART
         self._beat_lost_fired = False
@@ -107,13 +127,33 @@ class NetPortal:
 
     def _handle(self, conn: socket.socket) -> None:
         with conn, conn.makefile("rw", encoding="utf-8", newline="\n") as f:
-            for line in f:
-                if self._stop.is_set():
-                    return
-                reply = self._dispatch(line.strip())
-                if reply is not None:
-                    f.write(reply + "\n")
-                    f.flush()
+            with self._clients_lock:
+                self._clients.append(f)
+            try:
+                for line in f:
+                    if self._stop.is_set():
+                        return
+                    reply = self._dispatch(line.strip())
+                    if reply is not None:
+                        f.write(reply + "\n")
+                        f.flush()
+            finally:
+                with self._clients_lock:
+                    if f in self._clients:
+                        self._clients.remove(f)
+
+    def broadcast(self, line: str) -> None:
+        """Push an EVENT line to every connected console (the portal's
+        upstream notifications: ROB_REACH_MIL milestone reports,
+        error announcements)."""
+        with self._clients_lock:
+            clients = list(self._clients)
+        for f in clients:
+            try:
+                f.write("EVENT " + line + "\n")
+                f.flush()
+            except (OSError, ValueError):
+                pass
 
     def _dispatch(self, line: str) -> str | None:
         parts = line.split()
@@ -155,4 +195,27 @@ class NetPortal:
             return f"POSE {x:.4f} {y:.4f} {th:.4f}"
         if cmd == "STATE" and self._get_state:
             return f"STATE {self._get_state()}"
+        if cmd == "MISSION" and self._on_mission:
+            rows = []
+            try:
+                for leg in " ".join(parts[1:]).split(";"):
+                    leg = leg.strip()
+                    if leg:
+                        rows.append(leg.split())
+                if not rows:
+                    return "ERR bad args"
+                self._on_mission(rows)
+                return "OK"
+            except (ValueError, KeyError):
+                return "ERR bad args"
+        if cmd == "ERR" and self._get_error:
+            code, name = self._get_error()
+            return f"ERR {code} {name}"
+        if cmd == "MAP" and self._get_map:
+            import base64
+            import zlib
+
+            w, h, res, cells = self._get_map()
+            payload = base64.b64encode(zlib.compress(bytes(cells))).decode()
+            return f"MAP {w} {h} {res:.3f} {payload}"
         return "ERR unknown"

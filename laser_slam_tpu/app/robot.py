@@ -22,6 +22,11 @@ from ..ops.preprocess import preprocess
 from ..runtime.facade import SlamCallbacks, SlamV1
 from .config import RobotConfig, load_config
 from .logfile import LOG_IOA, LOG_NET, LOG_SLAM, LOG_TASK, LogFile
+from .mission import Mission, MissionRunner, MissionStatus
+from .monitor import (
+    ERROR_NAMES, SYS_ERR_CTRL_BATTERY_LOW, SYS_ERR_POWER_BATTERY_LOW,
+    SystemMonitor,
+)
 from .portal import NetPortal
 from .task import TaskEngine, TaskState
 
@@ -74,12 +79,64 @@ class RobotController:
                 on_heartbeat_lost=lambda: (
                     self.tasks and self.tasks.slow_stop()
                 ),
+                on_mission=self._start_mission,
+                get_error=lambda: (
+                    self.monitor.error, ERROR_NAMES[self.monitor.error]
+                ),
+                get_map=self._map_fetch,
             )
             self.portal.start()
             self.log.log(LOG_NET, f"portal listening on {self.portal.port}")
         # ambient map around the robot (MapService/AmbientGridMap role)
         self.local_map = LocalMapService(self.model)
         self._last_scan = None
+        # System health: battery + link supervision driving the task
+        # engine (ThreadSystemMonitor + ErrList, C_C.cpp:930-961).
+        self.monitor = SystemMonitor(on_error=self._on_sys_error)
+        self.mission_runner: MissionRunner | None = None
+
+    # -- health -----------------------------------------------------------
+
+    def _on_sys_error(self, code: int) -> None:
+        self.log.log(LOG_IOA, f"system error {code} ({ERROR_NAMES[code]})")
+        if self.portal is not None:
+            self.portal.broadcast(f"ERROR {code} {ERROR_NAMES[code]}")
+        if self.tasks is None:
+            return
+        if code in (SYS_ERR_CTRL_BATTERY_LOW, SYS_ERR_POWER_BATTERY_LOW):
+            # Battery sag: controlled deceleration, keep localization up.
+            self.tasks.slow_stop()
+        else:
+            # A lost sensor/chassis link makes motion unsafe NOW.
+            self.tasks.cancel()
+
+    def _start_mission(self, rows) -> None:
+        if self.tasks is None:
+            self.log.log(LOG_TASK, "mission rejected: no task engine")
+            return
+        runner = MissionRunner(
+            self.tasks, Mission.from_rows(rows),
+            on_reached=lambda i, g: (
+                self.log.log(LOG_TASK, f"leg {i} reached {g}"),
+                self.portal and self.portal.broadcast(
+                    f"REACHED {i} {g[0]:.2f} {g[1]:.2f}"
+                ),
+            ),
+        )
+        self.mission_runner = runner
+        runner.start()
+        self.log.log(LOG_TASK, f"mission started: {len(rows)} legs")
+
+    def _map_fetch(self):
+        """Occupancy fetch for the portal's MAP command: the ambient
+        grid as (w, h, resolution, byte cells 0..255 occupancy)."""
+        import numpy as np
+
+        lmap = self.local_map.map
+        prob = np.asarray(lmap.probability())
+        cells = np.clip(prob * 255.0, 0, 255).astype(np.uint8)
+        h, w = cells.shape
+        return w, h, float(lmap.resolution), cells.tobytes()
 
     # -- sensor pumps ------------------------------------------------------
 
@@ -122,17 +179,28 @@ class RobotController:
         self.log.log(LOG_TASK, f"goal queued ({x:.2f}, {y:.2f})")
 
     def control_tick(self) -> ControlCommand | None:
-        """Compute the current motor command from pose + latest scan."""
+        """Compute the current motor command from pose + latest scan.
+        Health is polled first: a latched system error has already
+        stopped/cancelled the mission via :meth:`_on_sys_error`."""
         if self.tasks is None or self._last_scan is None:
             return None
         import jax
         import jax.numpy as jnp
 
+        self.monitor.poll()
         scan = jax.tree.map(
             lambda a: a[0],
             preprocess(jnp.asarray(self._last_scan)[None, :], self.model),
         )
-        cmd = self.tasks.step(self.slam.pose, scan)
+        if (
+            self.mission_runner is not None
+            and self.mission_runner.status in (
+                MissionStatus.RUNNING, MissionStatus.ACTION
+            )
+        ):
+            cmd = self.mission_runner.tick(self.slam.pose, scan)
+        else:
+            cmd = self.tasks.step(self.slam.pose, scan)
         if self.tasks.state in (TaskState.BLOCKED, TaskState.FAILED):
             self.log.log(LOG_IOA, f"task state {self.tasks.state.value}")
         return cmd

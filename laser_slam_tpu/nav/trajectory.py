@@ -141,6 +141,165 @@ def wheel_velocities(v: Array, omega: Array, wheel_base: float) -> tuple:
     return v - half * omega, v + half * omega
 
 
+class BlendedCorner(NamedTuple):
+    xy: Array        # [S, 2] sampled blended positions (world frame)
+    ok: Array        # [] bool — corner was blendable (non-degenerate)
+
+
+def blend_corner(
+    p0: Array, p1: Array, p2: Array, n_slices: int = 100,
+    blend_lo: float = 0.1, blend_hi: float = 0.9,
+) -> BlendedCorner:
+    """Cubic corner blend through waypoint triple ``(p0, p1, p2)`` —
+    the role of ``NewSegmentBlend`` (Trajectory.cpp:1515-1640): rotate
+    into the chord frame (p0→p2 along x), follow the p0→p1 line to 10%
+    of the chord, a cubic matching position+slope of both lines to 90%,
+    then the p1→p2 line. The reference walks a per-slice if/else ladder;
+    here the piecewise curve is evaluated for ALL slices at once with
+    masks — one jittable program, batchable over corners with ``vmap``.
+
+    Degenerate corners (p0≈p2 U-turns, or a leg parallel to the chord
+    normal making a line slope infinite) report ``ok=False`` — the
+    caller keeps the sharp corner and lets the schedule's corner-speed
+    drop / spin handle it, as the reference falls back to Spin.
+    """
+    dtype = jnp.float32
+    p0 = jnp.asarray(p0, dtype)
+    p1 = jnp.asarray(p1, dtype)
+    p2 = jnp.asarray(p2, dtype)
+    chord = p2 - p0
+    clen = jnp.linalg.norm(chord)
+    theta = jnp.arctan2(chord[1], chord[0])
+    c, s = jnp.cos(-theta), jnp.sin(-theta)
+
+    def to_local(p):
+        d = p - p0
+        return jnp.stack([c * d[0] - s * d[1], s * d[0] + c * d[1]])
+
+    q1 = to_local(p1)
+    q2 = jnp.stack([clen, jnp.zeros((), dtype)])
+
+    # Line slopes in the chord frame (y as a function of x).
+    dx1 = jnp.maximum(jnp.abs(q1[0]), 1e-6) * jnp.sign(
+        jnp.where(q1[0] == 0, 1.0, q1[0])
+    )
+    dx2 = q2[0] - q1[0]
+    dx2 = jnp.maximum(jnp.abs(dx2), 1e-6) * jnp.sign(
+        jnp.where(dx2 == 0, 1.0, dx2)
+    )
+    k1 = q1[1] / dx1
+    k2 = (q2[1] - q1[1]) / dx2
+    b2 = q1[1] - k2 * q1[0]
+
+    xl = q2[0]
+    x0 = blend_lo * xl
+    y0 = k1 * x0
+    x1 = blend_hi * xl
+    y1 = k2 * x1 + b2
+    xd = jnp.maximum(x1 - x0, 1e-6)
+    # Cubic a0 + a1 t + a2 t² + a3 t³ over t = x - x0, matching value
+    # and slope at both blend points (the reference's fA0..fA3).
+    a0 = y0
+    a1 = k1
+    a2 = 3.0 * (y1 - y0) / xd**2 - (2.0 * k1 + k2) / xd
+    a3 = -2.0 * (y1 - y0) / xd**3 + (k1 + k2) / xd**2
+
+    x = jnp.linspace(0.0, 1.0, n_slices, dtype=dtype) * xl
+    t = x - x0
+    y = jnp.where(
+        x < x0,
+        k1 * x,
+        jnp.where(
+            x <= x1,
+            a0 + a1 * t + a2 * t * t + a3 * t**3,
+            k2 * x + b2,
+        ),
+    )
+    # Rotate back to world.
+    cb, sb = jnp.cos(theta), jnp.sin(theta)
+    xy = jnp.stack(
+        [p0[0] + cb * x - sb * y, p0[1] + sb * x + cb * y], axis=-1
+    )
+    # Blendable: chord long enough, both legs advance monotonically
+    # along the chord (a backtracking leg means a U-turn).
+    ok = (clen > 0.05) & (q1[0] > 0.02) & (q2[0] - q1[0] > 0.02)
+    return BlendedCorner(xy=xy, ok=ok)
+
+
+class WheelSchedule(NamedTuple):
+    v_l: Array       # [S] left wheel speed per CMD_SLICE [m/s]
+    v_r: Array       # [S] right wheel speed
+    valid: Array     # [S]
+
+
+def wheel_schedule_along(
+    xy: np.ndarray,
+    v_max: float = MAX_SPD,
+    acc: float = MAX_ACC,
+    dec: float = MAX_DEC,
+    wheel_base: float = 0.5,
+    dt: float = CMD_SLICE,
+    max_slices: int = 4 * MAX_SLICES,
+) -> WheelSchedule:
+    """Open-loop differential wheel commands along a (blended) polyline:
+    a trapezoidal speed profile over its arc length plus the curvature-
+    induced ω at each slice — the CMD_SLICE stream Trajectory.cpp
+    generates for the motor link (vctWL/vctWR)."""
+    xy = np.asarray(xy, np.float32).reshape(-1, 2)
+    seg = np.diff(xy, axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    arc = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = float(arc[-1])
+    heads = np.unwrap(np.arctan2(seg[:, 1], seg[:, 0]))
+
+    prof = trapezoid_profile(total, 0.0, 0.0, v_max, acc, dec, dt)
+    v = np.asarray(prof.v)
+    valid = np.asarray(prof.valid)
+    # Arc position at each slice midpoint → heading → ω = dθ/dt.
+    s_at = np.cumsum(v * dt)
+    idx = np.clip(np.searchsorted(arc, s_at) - 1, 0, len(heads) - 1)
+    th = heads[idx]
+    om = np.zeros_like(v)
+    om[1:] = (th[1:] - th[:-1]) / dt
+    om = np.clip(om, -2.0, 2.0)
+    vl, vr = wheel_velocities(jnp.asarray(v), jnp.asarray(om), wheel_base)
+    n = min(len(v), max_slices)
+    return WheelSchedule(
+        v_l=jnp.asarray(vl)[:n], v_r=jnp.asarray(vr)[:n],
+        valid=jnp.asarray(valid)[:n],
+    )
+
+
+def blend_path(
+    path: np.ndarray, n_slices: int = 40,
+) -> np.ndarray:
+    """Smooth a waypoint polyline by blending every interior corner
+    (vmapped :func:`blend_corner`); unblendable corners stay sharp.
+    Returns the densified polyline ``[M, 2]``."""
+    import jax
+
+    path = np.asarray(path, np.float32).reshape(-1, 2)
+    if len(path) < 3:
+        return path
+    p0 = jnp.asarray(path[:-2])
+    p1 = jnp.asarray(path[1:-1])
+    p2 = jnp.asarray(path[2:])
+    out = jax.jit(
+        jax.vmap(lambda a, b, c_: blend_corner(a, b, c_, n_slices))
+    )(p0, p1, p2)
+    xy, ok = np.asarray(out.xy), np.asarray(out.ok)
+    pts = [path[:1]]
+    for i in range(len(ok)):
+        if ok[i]:
+            # Use the corner's middle half (the blend region); the
+            # straight parts come from the neighboring entries.
+            pts.append(xy[i][n_slices // 4: 3 * n_slices // 4])
+        else:
+            pts.append(path[i + 1: i + 2])
+    pts.append(path[-1:])
+    return np.concatenate(pts, axis=0)
+
+
 class Schedule(NamedTuple):
     v: Array         # [S, MAX_SLICES] per-segment speeds
     valid: Array     # [S, MAX_SLICES]
