@@ -81,6 +81,34 @@ def main() -> None:
         bank["src"], bank["dst"], bank["rel"], tent, gt_anchor
     )
     cov = loop_coverage(bank["src"], bank["dst"], strict, len(aidx))
+    # Effective coverage: strict loops PLUS tentative loops the solved
+    # estimate agrees with (the anchored-promotion lane actually
+    # activates these in the solve — see _solve_with_bank).
+    import laser_slam_tpu.core.se2 as se2
+
+    anchor_est = np.asarray(d["anchor_poses"])
+    pred = se2.np_relative(anchor_est[bank["src"]], anchor_est[bank["dst"]])
+    resid = se2.np_relative(bank["rel"], pred)
+    agree = (
+        np.linalg.norm(resid[:, :2], axis=-1) < 0.5
+    ) & (np.abs((resid[:, 2] + np.pi) % (2 * np.pi) - np.pi) < 0.2)
+    cov_eff = loop_coverage(
+        bank["src"], bank["dst"], strict | (tent & agree), len(aidx)
+    )
+    # Ground-truth revisit structure of the still-uncovered anchors:
+    # an anchor with NO GT revisit within 5 m (at index gap >= 20) is
+    # structurally unconstrainable — its residual error is odometry in
+    # never-revisited geometry, not a missed loop.
+    D = np.linalg.norm(
+        gt_anchor[None, :, :2] - gt_anchor[:, None, :2], axis=-1
+    )
+    gap_m = np.abs(
+        np.arange(len(aidx))[None, :] - np.arange(len(aidx))[:, None]
+    )
+    D[gap_m < 20] = np.inf
+    nearest_revisit = D.min(1)
+    zero_eff = cov_eff == 0
+    never_revisited = zero_eff & (nearest_revisit > 5.0)
     segs = segment_errors(est, gt, seg_len=100)
     segs_odo = segment_errors(odo, gt, seg_len=100)
 
@@ -99,10 +127,15 @@ def main() -> None:
                 rep_s.src[wrong_s], rep_s.dst[wrong_s], rep_s.t_err[wrong_s]
             )
         ][:40],
+        "wrong_strict_fraction": round(
+            float((rep_s.n - rep_s.n_correct) / max(rep_s.n, 1)), 3
+        ),
         "n_loops_tentative": rep_t.n,
         "n_tentative_correct": rep_t.n_correct,
         "coverage_zero_anchors": int((cov == 0).sum()),
         "coverage_zero_spans": _spans(cov == 0),
+        "coverage_zero_effective": int(zero_eff.sum()),
+        "coverage_zero_never_revisited(gt>5m)": int(never_revisited.sum()),
         "seg_t_rmse": [round(float(x), 2) for x in segs.t_rmse],
         "seg_h_mean_deg": [
             round(float(np.degrees(x)), 1) for x in segs.h_mean
