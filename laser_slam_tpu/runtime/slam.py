@@ -528,7 +528,12 @@ def _solve_with_bank(
     active2 = jnp.concatenate([jnp.ones(a - 1, bool), keep2])
     g2 = g_opt._replace(e_active=active2)
     g_opt2, chi2_ = optimize(g2, cfg.gn_iters)
-    return g_opt2.poses, jnp.sum(keep2), chi2_
+    # keep2 is the loop set the final solve actually used (post PCM,
+    # post residual-trim, promotions included) — exposed so diagnostics
+    # and the accuracy lane can audit the SOLVED constraint set rather
+    # than the raw bank (banked-but-trimmed loops never touch the
+    # result; VERDICT r4 #5).
+    return g_opt2.poses, jnp.sum(keep2), chi2_, keep2
 
 
 def run_correlative_rounds(
@@ -807,13 +812,14 @@ def run_correlative_rounds(
             bank[key][:n] = val[order]
         bank["act"][:] = False
         bank["act"][:n] = True
-        anchor_poses, n_loops, chi = solve_fn(
+        anchor_poses, n_loops, chi, used = solve_fn(
             anchor_poses, odo_anchor_poses, rel_seq, seq_weight_round,
             jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
             jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),
             jnp.asarray(bank["act"]), jnp.asarray(bank["strict"]),
             jnp.asarray(bank["cov"]),
         )
+        bank["used"] = np.asarray(used)
         jax.block_until_ready(anchor_poses)
         t0 = _t(f"round {r} solve (bank={int(bank['act'].sum())})", t0)
     return anchor_poses, n_loops, chi, bank, tried

@@ -70,8 +70,12 @@ def main() -> None:
     }
 
     if not args.no_chip:
-        out["chip_saturation"] = chip_saturation()
-        out["verify_saturation"] = verify_saturation()
+        # Each chip section runs in its own subprocess: the tunneled TPU
+        # worker occasionally dies mid-session (UNAVAILABLE), and an
+        # isolated process both contains the blast radius and lets a
+        # retry start from a fresh backend.
+        out["chip_saturation"] = run_section("chip_saturation")
+        out["verify_saturation"] = run_section("verify_saturation")
 
     res = run_virtual_mesh(args.devices, args.pairs, args.tpu)
     out["virtual_mesh"] = res
@@ -395,6 +399,31 @@ def two_process_sockets() -> dict:
                 "serialization/coordination overhead); complements the "
                 "single-chip batch-saturation projections",
     }
+
+
+def run_section(fn_name: str, retries: int = 1) -> dict:
+    """Run a module-level section function in a fresh subprocess and
+    return its JSON result; retry once on failure (fresh TPU backend)."""
+    import subprocess
+
+    code = (
+        "import json,sys;"
+        "from tools.bench_scaling import %s;"
+        "print('\\n'+json.dumps(%s()))" % (fn_name, fn_name)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for attempt in range(retries + 1):
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, cwd=repo, timeout=3600,
+        )
+        if p.returncode == 0:
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        print(f"{fn_name} attempt {attempt} failed:\n{p.stderr[-1500:]}",
+              file=sys.stderr)
+    return {"error": f"{fn_name} failed after {retries + 1} attempts"}
 
 
 def run_virtual_mesh(devices: int, pairs: int, use_tpu: bool) -> dict:

@@ -80,6 +80,13 @@ def main() -> None:
     rep_t = classify_loops(
         bank["src"], bank["dst"], bank["rel"], tent, gt_anchor
     )
+    # The constraint set the FINAL solve actually used (post PCM +
+    # residual trim, promoted tentatives included). Banked-but-trimmed
+    # loops never touch the result, so precision assertions belong here.
+    used = bank.get("used", np.zeros_like(active)) & active
+    rep_u = classify_loops(
+        bank["src"], bank["dst"], bank["rel"], used, gt_anchor
+    )
     cov = loop_coverage(bank["src"], bank["dst"], strict, len(aidx))
     # Effective coverage: strict loops PLUS tentative loops the solved
     # estimate agrees with (the anchored-promotion lane actually
@@ -130,6 +137,11 @@ def main() -> None:
         "wrong_strict_fraction": round(
             float((rep_s.n - rep_s.n_correct) / max(rep_s.n, 1)), 3
         ),
+        "n_loops_used": rep_u.n,
+        "n_used_correct(0.5m/0.2rad)": rep_u.n_correct,
+        "wrong_used_fraction": round(
+            float((rep_u.n - rep_u.n_correct) / max(rep_u.n, 1)), 3
+        ),
         "n_loops_tentative": rep_t.n,
         "n_tentative_correct": rep_t.n_correct,
         "coverage_zero_anchors": int((cov == 0).sum()),
@@ -153,7 +165,7 @@ def main() -> None:
         odo_anchor=d["odo_anchor_poses"], cov=cov,
         bank_src=bank["src"], bank_dst=bank["dst"], bank_rel=bank["rel"],
         bank_q=bank["q"], bank_act=active, bank_strict=bank["strict"],
-        seq_weight=d["seq_weight"],
+        bank_used=used, seq_weight=d["seq_weight"],
     )
     print(json.dumps(out, indent=1))
 

@@ -50,7 +50,7 @@ def run(name, cfg, act=None, seq_w=None, iters=3):
     w = seq_w if seq_w is not None else seq_w0
     p = odo_anchor
     for it in range(iters):
-        p, n, chi = _solve_with_bank(
+        p, n, chi, _used = _solve_with_bank(
             cfg, p, odo_anchor, rel_seq, w,
             jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
             jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),

@@ -23,7 +23,7 @@ ga = np.asarray(gt)[np.arange(A) * 10]
 def run(name, cfg, act=None, start=None):
     a = act if act is not None else bank["act"]
     st = start if start is not None else odo_anchor
-    poses, n, chi = _solve_with_bank(
+    poses, n, chi, _used = _solve_with_bank(
         cfg, st, odo_anchor, rel_seq, seq_w,
         jnp.asarray(bank["src"]), jnp.asarray(bank["dst"]),
         jnp.asarray(bank["rel"]), jnp.asarray(bank["q"]),

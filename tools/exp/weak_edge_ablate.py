@@ -45,7 +45,7 @@ def run(name, which, act=None, sw=None, iters=3):
     w = jnp.asarray(sw if sw is not None else sw0)
     p = odo_anchor
     for _ in range(iters):
-        p, n, chi = solve[which](p, w, a)
+        p, n, chi, _used = solve[which](p, w, a)
     r = float(ate(reatt(p), gt).rmse)
     print(f"  {name:34s}: ATE={r:6.3f} loops={int(n)}", flush=True)
 
