@@ -530,6 +530,7 @@ def verify_pairs_correlative(
     strong_goodness: float = 0.8,
     strong_err: float = 0.03,
     identity_init: bool = False,
+    triage_steps_per_nn: int = 1,
 ) -> VerifiedLoops:
     """Pair-level core of :func:`verify_loops_correlative`: all clouds
     already gathered per candidate ``[C, P, 2]`` / ``[C, W, 2]``. The
@@ -547,6 +548,7 @@ def verify_pairs_correlative(
     if dst is None:
         dst = jnp.zeros(odo_rel.shape[0], jnp.int32)
     init = jnp.zeros_like(odo_rel) if identity_init else odo_rel
+
 
     pw = refw_pts.shape[1]
     pn = cur_pts.shape[1]
@@ -589,13 +591,13 @@ def verify_pairs_correlative(
         tri_w = jax.vmap(
             lambda pk: match_icp_points(
                 rw_p[::2], rw_o[::2], cw_p[::tri_stride], cw_o[::tri_stride],
-                pk, iters=12, max_corr=4.0 * coarse_res,
+                pk, iters=12, max_corr=4.0 * coarse_res, steps_per_nn=triage_steps_per_nn,
             )
         )(peaks_w)
         tri_n = jax.vmap(
             lambda pk: match_icp_points(
                 rw_p[::2], rw_o[::2], c_p[::2], c_o[::2],
-                pk, iters=12, max_corr=4.0 * coarse_res,
+                pk, iters=12, max_corr=4.0 * coarse_res, steps_per_nn=triage_steps_per_nn,
             )
         )(peaks_n)
 
@@ -641,6 +643,7 @@ def verify_pairs_correlative(
         ctx = match_icp_points(
             rw_p[::2], rw_o[::2], cw_p[::tri_stride], cw_o[::tri_stride],
             cand_polish[1][0], iters=12, max_corr=4.0 * coarse_res,
+            steps_per_nn=triage_steps_per_nn,
         )
         ctx_ok = ~ctx.fail & (ctx.goodness >= 0.2) & (
             ctx.err < 2.0 * err_max

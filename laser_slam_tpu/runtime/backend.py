@@ -100,19 +100,19 @@ class IncrementalBackend:
         odo_chain: list[np.ndarray],
         weak: list[bool],
         fracture: list[bool],
-        final: bool = False,
     ) -> np.ndarray | None:
         """Run one correlative backend round over the session so far.
 
-        ``final=True`` marks the end-of-stream round. Measured on the
-        intel-lab loopback, extra end-of-session waves HURT: the
-        tried-matrix already excludes every plausible pair by then, so
-        additional waves verify only leftover long-radius candidates
-        and admit perceptual aliases (ATE 0.97 with the plain single
-        round vs 6.5 with rounds=2+cov_rounds=2 and 7.9 with rounds=2;
-        offline reaches 0.84 because its multi-wave schedule shapes the
-        gates from round 0). The flag is kept for call-site clarity and
-        future schedule work; today every round runs one wave.
+        Every round — including the end-of-stream one — runs ONE wave:
+        measured on the intel-lab loopback, extra end-of-session waves
+        HURT (the tried-matrix already excludes every plausible pair by
+        then, so additional waves verify only leftover long-radius
+        candidates and admit perceptual aliases: ATE 0.97 with the
+        plain single round vs 6.5 with rounds=2+cov_rounds=2 and 7.9
+        with rounds=2; offline's multi-wave schedule works because it
+        shapes the gates from round 0). An end-of-stream ``final`` flag
+        existed through r4 as a documented no-op and was removed
+        (VERDICT r4 #3).
 
         Returns the rebased per-scan trajectory ``[T, 3]`` (the
         synFromGlobal back-edge, threadLocal1.cpp:326-359), or ``None``

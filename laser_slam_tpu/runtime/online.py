@@ -349,7 +349,7 @@ class OnlineSlam:
             self._all_scans = []
         self._all_scans.append(scan)
 
-    def _backend_round(self, final: bool = False) -> None:
+    def _backend_round(self) -> None:
         """Init-free correlative loop closure + robust solve over the
         session so far — the SAME machinery as ``slam_offline``
         (run_correlative_rounds), driven incrementally through the
@@ -366,7 +366,7 @@ class OnlineSlam:
         addMapNodeCov, MapGraph.cpp:1272-1484)."""
         rebased = self._backend.round(
             self._all_scans, self._poses, self._odo_chain,
-            self._weak, self._fracture, final=final,
+            self._weak, self._fracture,
         )
         if rebased is None:
             return
@@ -454,7 +454,7 @@ class OnlineSlam:
             self._bg_thread.join()
             self._poll_backend()
         if final_round:
-            self._backend_round(final=True)
+            self._backend_round()
 
     def _apply_rebased(self, rebased: np.ndarray, t_snap: int) -> None:
         """Splice an optimized trajectory back into the live session:

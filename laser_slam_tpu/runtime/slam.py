@@ -151,6 +151,27 @@ class SlamConfig:
     #                                1.18 vs 1.26 — the narrow-lane
     #                                cross-heading rescues only activate
     #                                through this path
+    fast_triage: bool = False      # reuse each ICP correspondence
+    #                                search for 2 pose updates in the
+    #                                verification TRIAGE stage (the
+    #                                [N,M] NN pass is ~85% of per-pair
+    #                                ICP cost; ops/icp_points.py
+    #                                steps_per_nn). Measured on the TPU:
+    #                                verify rounds 9.2 → 7.6 s/round on
+    #                                intel-lab (−17%) at ATE cost
+    #                                intel 0.859→0.865, mit-cscail
+    #                                1.182→1.239 (triage basin flicker
+    #                                on marginal pairs) — an option for
+    #                                latency-critical deployments, OFF
+    #                                by default because the offline
+    #                                accuracy bar outranks 1.6 s/round.
+    #                                (Reusing correspondences in the
+    #                                FULL polish as well measured
+    #                                0.859→0.927; gating on fresh-tail
+    #                                metrics after a stale bulk measured
+    #                                ATE 8.7 — stale dynamics land wrong
+    #                                pairs in sharper basins that then
+    #                                pass the strong gate.)
     cov_rounds: int = 2            # trailing coverage-focused waves:
     #                                the whole candidate budget goes to
     #                                pairs touching zero-coverage anchors
@@ -374,6 +395,7 @@ def _verify_chunk(
         chunk=0,
         quality_min=cfg.min_quality,
         identity_init=True,
+        triage_steps_per_nn=2 if cfg.fast_triage else 1,
     )
 
 

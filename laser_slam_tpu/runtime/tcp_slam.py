@@ -213,7 +213,7 @@ class Backend:
         # Final full round over the complete session (the reference's
         # server keeps optimizing after the stream ends, main_server.cpp).
         rebased = self._backend.round(
-            all_scans, poses, odo, weak, frac, final=True
+            all_scans, poses, odo, weak, frac
         )
         if rebased is not None:
             poses = [rebased[i] for i in range(rebased.shape[0])]

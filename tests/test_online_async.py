@@ -100,7 +100,7 @@ def test_async_final_trajectory_matches_sync():
     lands on the same final trajectory as the synchronous one — overlap
     changes WHEN corrections apply, not where the session ends up."""
     slam_s, _, _ = _drive(async_backend=False)
-    slam_s._backend_round(final=True)
+    slam_s._backend_round()
     slam_a, _, _ = _drive(async_backend=True)  # _drive flushes
 
     ts, ta = slam_s.trajectory, slam_a.trajectory
