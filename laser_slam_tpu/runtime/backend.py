@@ -179,6 +179,17 @@ class IncrementalBackend:
             # bank keeps the long-gap global constraints from being
             # evicted when the cap binds (SlamConfig.bank_cap).
             bank_cap=(self.cfg.bank_cap or 2 * self.cfg.max_loops),
+            # Anchored tentative promotion is an OFFLINE-validated
+            # mechanism: its residual bounds assume the estimate has
+            # already absorbed the round-0 full-budget wave. On the
+            # incremental schedule the estimate is still drift-sized
+            # when tentatives arrive, and odometry-cycle-consistent +
+            # drift-sized-residual selects exactly the drift-confirming
+            # narrow-lane aliases (the failure mode the offline
+            # promotion gate was built to exclude) — the r5 accuracy
+            # lane measured the intel-lab loopback at 8.5 m (~odometry)
+            # with promotion on vs 0.97 recorded without it at r4.
+            promote_tentative=False,
         )
         ap_new, n_loops, _chi, bank, tried_j = run_correlative_rounds(
             cfg_r, submaps, jnp.asarray(ap), jnp.asarray(rel_seq),
